@@ -1,0 +1,66 @@
+"""Shared pieces of the RandomVariable API.
+
+The reference defines the contract in two sibling implementations that must
+agree bit-for-bit (RandomVariableCuda.java:67-68):
+
+* the device implementation (RandomVariableCuda.java) and
+* the CPU float oracle (cpu/montecarlo/RandomVariableFromFloatArray.java).
+
+This module holds what both of our implementations share: type-priority
+constants, the finmath-compatible quantile index convention, and the helper
+that installs finmath-style camelCase aliases next to the Pythonic
+snake_case API, so that a user of the reference finds the names they know
+(``getAverage``, ``addProduct``, ...) on our classes.
+"""
+
+from __future__ import annotations
+
+# Type priorities drive binary-operator dispatch: if the argument has a
+# higher priority, the operation is delegated to it (with arguments flipped
+# for non-commutative ops). Reference: CPU float = 1
+# (RandomVariableFromFloatArray.java:47), device = 20
+# (RandomVariableCuda.java:568), AAD wrappers higher (README.md:50-52).
+TYPE_PRIORITY_FLOAT = 1
+TYPE_PRIORITY_TPU = 20
+TYPE_PRIORITY_AAD = 30
+
+
+def quantile_index(size: int, quantile: float) -> int:
+    """finmath's quantile index convention on sorted realizations."""
+    idx = int(round((size + 1) * quantile - 1))
+    return min(max(idx, 0), size - 1)
+
+
+#: snake_case -> camelCase alias table (finmath RandomVariable interface).
+_CAMEL_ALIASES = {
+    "get_filtration_time": "getFiltrationTime",
+    "get_type_priority": "getTypePriority",
+    "double_value": "doubleValue",
+    "is_deterministic": "isDeterministic",
+    "get_realizations": "getRealizations",
+    "get_min": "getMin",
+    "get_max": "getMax",
+    "get_average": "getAverage",
+    "get_variance": "getVariance",
+    "get_sample_variance": "getSampleVariance",
+    "get_standard_deviation": "getStandardDeviation",
+    "get_standard_error": "getStandardError",
+    "get_quantile": "getQuantile",
+    "get_quantile_expectation": "getQuantileExpectation",
+    "get_histogram": "getHistogram",
+    "get_conditional_expectation": "getConditionalExpectation",
+    "add_product": "addProduct",
+    "add_ratio": "addRatio",
+    "sub_ratio": "subRatio",
+    "add_sum_product": "addSumProduct",
+    "is_nan": "isNaN",
+    "get_operator": "getOperator",
+}
+
+
+def install_camel_aliases(cls: type) -> type:
+    """Install finmath-style camelCase aliases for the snake_case API."""
+    for snake, camel in _CAMEL_ALIASES.items():
+        if hasattr(cls, snake) and not hasattr(cls, camel):
+            setattr(cls, camel, getattr(cls, snake))
+    return cls
