@@ -1,0 +1,188 @@
+"""LIBOR Market Model tests.
+
+Models the reference's LIBORMarketModelCalibrationATMTest (/root/reference/
+.../LIBORMarketModelCalibrationATMTest.java): curve bootstrap accuracy
+(:637, 1e-3), calibration mean deviation (:466, 2e-4), determinism after
+serialization (:440). Sizes are scaled down for CI (the full 100k-path run
+lives in bench.py).
+"""
+
+import pickle
+
+import numpy as np
+import pytest
+
+from finmath_tpu.models.curves import (
+    EUR_SWAP_MATURITIES,
+    EUR_SWAP_RATES,
+    ForwardCurve,
+    get_calibrated_eur_curve,
+    par_swap_rate,
+)
+from finmath_tpu.models.lmm.atm_calibration import build_atm_calibration
+from finmath_tpu.models.lmm.covariance import (
+    LIBORCorrelationModelExponentialDecay,
+    LIBORVolatilityModelPiecewiseConstant,
+)
+from finmath_tpu.models.lmm.model import (
+    bachelier_implied_vol_jnp,
+    black_implied_vol_jnp,
+)
+from finmath_tpu.models.analytic import bachelier_formula, black_formula
+from finmath_tpu.models.time_discretization import TimeDiscretization
+
+
+class TestCurveBootstrap:
+    def test_swaps_reprice_to_par(self):
+        curve = get_calibrated_eur_curve()
+        for maturity, rate in zip(EUR_SWAP_MATURITIES, EUR_SWAP_RATES):
+            n = max(int(round(maturity)), 1)
+            if maturity < 1:
+                fixed_times = np.asarray([maturity])
+                fixed_deltas = np.asarray([maturity])
+            else:
+                fixed_times = np.arange(1.0, n + 1)
+                fixed_deltas = np.ones(n)
+                fixed_times[-1] = maturity
+            fixed = rate * np.sum(fixed_deltas * curve.get_discount_factor(fixed_times))
+            floating = 1.0 - curve.get_discount_factor(maturity)
+            # ref. asserts solver accuracy < 1e-3; ours is exact to ~1e-14
+            assert abs(fixed - floating) < 1e-10
+
+    def test_forward_curve_consistency(self):
+        curve = get_calibrated_eur_curve()
+        fc = ForwardCurve(curve, 0.5)
+        t = 5.0
+        df0, df1 = curve.get_discount_factor([t, t + 0.5])
+        assert fc.get_forward(t) == pytest.approx((df0 / df1 - 1.0) / 0.5, rel=1e-12)
+
+    def test_par_swap_rate_matches_market(self):
+        # the 10Y par rate on the bootstrapped curve equals the input quote
+        curve = get_calibrated_eur_curve()
+        fc = ForwardCurve(curve, 0.5)
+        # annual fixed grid is what was bootstrapped; semiannual par rate is
+        # close but not identical — check against the annual-grid definition
+        tenor = np.arange(0.0, 10.5, 0.5)
+        rate = par_swap_rate(fc, curve, tenor)
+        assert rate == pytest.approx(0.00285, abs=2e-4)
+
+
+class TestCovarianceModels:
+    def test_vol_bucket_mapping(self):
+        td = TimeDiscretization(initial=0.0, num_steps=8, step=0.5)
+        grid = np.asarray([0.0, 1.0, 2.0])
+        vol = LIBORVolatilityModelPiecewiseConstant(td, td, grid, grid, 0.3)
+        params = np.arange(1.0, vol.n_params + 1)
+        table = np.asarray(vol.vol_table(params))
+        # dead forwards masked to 0
+        assert table[2, 1] == 0.0  # forward fixing at 0.5 is dead at t=1.0
+        # alive entries carry a parameter value
+        assert table[0, 4] > 0
+        # same (time bucket, ttm bucket) share a parameter
+        # t=0.0 (bucket 0), ttm of libor 6 = 3.0 (bucket 2);
+        # t=0.5 (bucket 0), ttm of libor 7 = 3.0 (bucket 2)
+        assert table[0, 6] == table[1, 7]
+
+    def test_correlation_factor_reduction(self):
+        td = TimeDiscretization(initial=0.0, num_steps=20, step=0.5)
+        full = LIBORCorrelationModelExponentialDecay(td, 20, decay=0.1)
+        R = np.asarray(full.factor_matrix)
+        corr = R @ R.T
+        times = 0.5 * np.arange(20)
+        expected = np.exp(-0.1 * np.abs(times[:, None] - times[None, :]))
+        np.testing.assert_allclose(corr, expected, atol=1e-8)
+        # reduced-rank keeps unit diagonal by row renormalization
+        reduced = LIBORCorrelationModelExponentialDecay(td, 3, decay=0.1)
+        R3 = np.asarray(reduced.factor_matrix)
+        np.testing.assert_allclose(np.sum(R3 * R3, axis=1), 1.0, atol=1e-12)
+
+
+class TestImpliedVolInversion:
+    def test_bachelier_roundtrip(self):
+        import jax.numpy as jnp
+
+        f, k, t, a = 0.025, 0.021, 5.0, 7.3
+        for vol in (0.002, 0.006, 0.02):
+            v = bachelier_formula(f, k, vol, t, a)
+            got = float(bachelier_implied_vol_jnp(
+                jnp.float64(v), jnp.float64(f), jnp.float64(k),
+                jnp.float64(t), jnp.float64(a)))
+            assert got == pytest.approx(vol, rel=1e-9)
+
+    def test_black_roundtrip(self):
+        import jax.numpy as jnp
+
+        f, k, t, a = 0.025, 0.028, 3.0, 4.1
+        for vol in (0.1, 0.25, 0.6):
+            v = black_formula(f, k, vol, t, a)
+            got = float(black_implied_vol_jnp(
+                jnp.float64(v), jnp.float64(f), jnp.float64(k),
+                jnp.float64(t), jnp.float64(a)))
+            assert got == pytest.approx(vol, rel=1e-7)
+
+
+@pytest.fixture(scope="module")
+def small_setup():
+    return build_atm_calibration(num_paths=1500, num_factors=1, seed=31415)
+
+
+class TestLMMEngine:
+    def test_product_filtering(self, small_setup):
+        # 196 quotes - (3 expiries < 1Y: 42) - out-of-grid = on-grid set
+        assert len(small_setup.products) == 144
+        for p in small_setup.products:
+            assert p.exercise_index + p.num_periods <= 80
+
+    def test_caplet_implied_vol_near_model_vol(self, small_setup):
+        """Single-period swaption = caplet on L; with flat normal vol sigma
+        the implied normal vol must come out ~sigma (drift is tiny)."""
+        engine = small_setup.engine
+        p0 = small_setup.covariance.initial_parameters
+        vols = engine.implied_vols(p0)
+        # 1Y x 1Y product is index of exercise_index=2, num_periods=2; find
+        # the shortest product (2Y-total) as nearest to a caplet
+        short_idx = next(
+            i for i, p in enumerate(engine.products)
+            if p.exercise_index == 2 and p.num_periods == 2
+        )
+        assert vols[short_idx] == pytest.approx(0.005, rel=0.10)
+
+    def test_deterministic_residuals(self, small_setup):
+        p0 = small_setup.covariance.initial_parameters
+        r1 = small_setup.engine.residuals(p0)
+        r2 = small_setup.engine.residuals(p0)
+        np.testing.assert_array_equal(r1, r2)
+
+    def test_jacobian_matches_finite_difference(self, small_setup):
+        engine = small_setup.engine
+        p0 = small_setup.covariance.initial_parameters.copy()
+        J = engine.jacobian(p0)
+        k = int(np.argmax(np.abs(J).sum(axis=0)))  # most influential param
+        # f32 simulation noise limits central-difference accuracy to a few
+        # percent (the reference uses the same parameterStep 1e-4, :339)
+        eps = 1e-4
+        pp, pm = p0.copy(), p0.copy()
+        pp[k] += eps
+        pm[k] -= eps
+        fd = (engine.residuals(pp) - engine.residuals(pm)) / (2 * eps)
+        np.testing.assert_allclose(J[:, k], fd, rtol=0.08, atol=5e-5)
+
+
+class TestATMCalibration:
+    def test_calibration_quality(self, small_setup):
+        """ref. asserts |mean deviation| < 2e-4 at 10k paths (:466)."""
+        result = small_setup.calibrate(max_iterations=12, accuracy=1e-7)
+        dev = small_setup.deviations(result.parameters)
+        assert abs(np.mean(dev)) < 2e-4
+        assert np.sqrt(np.mean(dev**2)) < 5e-4
+        assert result.rms_error < 5e-4
+
+    def test_serialization_determinism(self, small_setup):
+        """ref. round-trips the calibrated model and asserts identical
+        revaluation to 1e-12 (:440). Our model state is the parameter
+        vector; a pickle round-trip must reproduce residuals exactly."""
+        p = small_setup.covariance.initial_parameters * 1.1
+        r1 = small_setup.engine.residuals(p)
+        p_restored = pickle.loads(pickle.dumps(p))
+        r2 = small_setup.engine.residuals(p_restored)
+        np.testing.assert_array_equal(r1, r2)
