@@ -30,6 +30,14 @@ import jax
 # f32 storage / f64 accumulation policy — see module docstring.
 jax.config.update("jax_enable_x64", True)
 
+from .utils.config import enable_compilation_cache, select_device
+
+# TPU compiles of the calibration programs take minutes cold; the
+# persistent cache makes every later process start hot. Disable with
+# FINMATH_TPU_CACHE_DIR=''.
+enable_compilation_cache()
+select_device()
+
 __version__ = "0.1.0"
 
 from .ops.random_variable import RandomVariable, RandomVariableTPU, RandomVariableTPUFactory

@@ -162,6 +162,120 @@ class BrownianMotion:
     getCloneWithModifiedSeed = get_clone_with_modified_seed
 
 
+class BrownianMotionHostRandom:
+    """All-host Brownian motion: sequential native RNG (MT19937 or the
+    java.util.Random LCG) + inverse-CDF normals, wrapped in the CPU float
+    oracle type. This is the CPU baseline leg of every reference benchmark
+    (BrownianMotionJavaRandom.java:40 and finmath's
+    BrownianMotionFromMersenneRandomNumbers; README.md:200-201, :212-213).
+    """
+
+    def __init__(self, time_discretization: TimeDiscretization,
+                 num_factors: int, num_paths: int, seed: int,
+                 algorithm: str = "mersenne"):
+        self._td = time_discretization
+        self._num_factors = int(num_factors)
+        self._num_paths = int(num_paths)
+        self._seed = int(seed)
+        self._algorithm = algorithm
+        self._increments: Optional[np.ndarray] = None
+
+    def _lazy_init(self) -> np.ndarray:
+        if self._increments is None:
+            from ..native.host_rng import HostRandomGenerator
+
+            gen = HostRandomGenerator(self._seed, self._algorithm)
+            steps = self._td.get_number_of_time_steps()
+            out = np.empty((steps, self._num_factors, self._num_paths),
+                           dtype=np.float32)
+            for m in range(steps):
+                stddev = float(np.sqrt(self._td.get_time_step(m)))
+                for f in range(self._num_factors):
+                    out[m, f] = gen.normals(self._num_paths, stddev)
+            self._increments = out
+        return self._increments
+
+    @property
+    def increments(self) -> np.ndarray:
+        return self._lazy_init()
+
+    def get_brownian_increment(self, time_index: int, factor: int = 0) -> RandomVariableFloat:
+        inc = self._lazy_init()
+        return RandomVariableFloat.of(
+            self._td.get_time(time_index + 1), inc[time_index, factor]
+        )
+
+    def get_time_discretization(self) -> TimeDiscretization:
+        return self._td
+
+    def get_number_of_factors(self) -> int:
+        return self._num_factors
+
+    def get_number_of_paths(self) -> int:
+        return self._num_paths
+
+    def get_seed(self) -> int:
+        return self._seed
+
+    def get_random_variable_for_constant(self, value: float) -> RandomVariableFloat:
+        return RandomVariableFloat(0.0, value)
+
+    def get_clone_with_modified_seed(self, seed: int) -> "BrownianMotionHostRandom":
+        return BrownianMotionHostRandom(
+            self._td, self._num_factors, self._num_paths, seed, self._algorithm
+        )
+
+    getBrownianIncrement = get_brownian_increment
+    getTimeDiscretization = get_time_discretization
+    getNumberOfFactors = get_number_of_factors
+    getNumberOfPaths = get_number_of_paths
+
+
+class BrownianMotionTPUWithHostRandomVariable:
+    """Hybrid leg: normals generated on the TPU, results pulled to host and
+    wrapped in the CPU float type — "RNG on GPU, simulation on CPU"
+    (BrownianMotionCudaWithHostRandomVariable.java:54, README.md:221).
+    Unlike the reference, the constructor seed is honored (the reference
+    hardcodes 1234, :171 — a known bug we do not replicate)."""
+
+    def __init__(self, time_discretization: TimeDiscretization,
+                 num_factors: int, num_paths: int, seed: int):
+        self._device = BrownianMotion(time_discretization, num_factors,
+                                      num_paths, seed)
+        self._host: Optional[np.ndarray] = None
+
+    def _lazy_init(self) -> np.ndarray:
+        if self._host is None:
+            self._host = np.asarray(self._device.increments)
+        return self._host
+
+    def get_brownian_increment(self, time_index: int, factor: int = 0) -> RandomVariableFloat:
+        inc = self._lazy_init()
+        td = self._device.get_time_discretization()
+        return RandomVariableFloat.of(td.get_time(time_index + 1),
+                                      inc[time_index, factor])
+
+    def get_time_discretization(self) -> TimeDiscretization:
+        return self._device.get_time_discretization()
+
+    def get_number_of_factors(self) -> int:
+        return self._device.get_number_of_factors()
+
+    def get_number_of_paths(self) -> int:
+        return self._device.get_number_of_paths()
+
+    def get_seed(self) -> int:
+        return self._device.get_seed()
+
+    def get_random_variable_for_constant(self, value: float) -> RandomVariableFloat:
+        return RandomVariableFloat(0.0, value)
+
+    getBrownianIncrement = get_brownian_increment
+    getTimeDiscretization = get_time_discretization
+    getNumberOfFactors = get_number_of_factors
+    getNumberOfPaths = get_number_of_paths
+
+
 class BrownianMotionView:
     """A view selecting a subset of another BrownianMotion's factors.
 

@@ -1,0 +1,120 @@
+"""Bermudan swaption via Longstaff-Schwartz on the TPU LMM.
+
+One of the driver baseline configurations (BASELINE.md: "Longstaff-Schwartz
+Bermudan swaption via on-device conditional-expectation regression"). The
+reference *cannot* run this on GPU — its device class returns null from
+``choose`` and has no conditional-expectation estimator
+(RandomVariableCuda.java:1631-1635; SURVEY.md §7 "hard parts") — so this is
+a capability the rebuild adds, implemented the TPU way: the backward
+induction is a fixed chain of regression solves (normal equations on the
+MXU) and ``jnp.where`` selections over the path axis, all inside one jitted
+program reusing the LMM engine's segmented simulation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.random_variable import ACC_DTYPE, FLOAT_DTYPE
+from .model import LIBORMarketModelTPU, LMMValuationEngine, SwaptionProduct
+
+
+@dataclass(frozen=True)
+class BermudanSwaption:
+    """Right to enter, at any exercise date T_e (e in exercise_indices),
+    the payer swap running from T_e to T_maturity at the given strike."""
+
+    exercise_indices: tuple       # tenor indices, ascending
+    maturity_index: int           # tenor index of the final payment
+    strike: float
+
+    def __post_init__(self):
+        if any(e >= self.maturity_index for e in self.exercise_indices):
+            raise ValueError("every exercise must precede maturity")
+
+
+class BermudanSwaptionPricer:
+    """Compiles (model, product, paths, factors, seed) into a jitted pricer
+    over the covariance parameter vector."""
+
+    def __init__(self, model: LIBORMarketModelTPU, product: BermudanSwaption,
+                 num_paths: int, num_factors: int, seed: int = 31415,
+                 basis_degree: int = 2):
+        self.model = model
+        self.product = product
+        self.num_paths = int(num_paths)
+        self.num_factors = int(num_factors)
+        self.seed = int(seed)
+        self.basis_degree = int(basis_degree)
+
+        # reuse the engine's segmented simulation by posing the exercise
+        # dates as "exercise indices" of a dummy product list
+        dummy = [SwaptionProduct(e, product.maturity_index - e, product.strike, 0.0)
+                 for e in product.exercise_indices]
+        self._engine = LMMValuationEngine(
+            model, dummy, num_paths, num_factors, seed
+        )
+        self._price_fn = jax.jit(self._build_price_fn())
+
+    def _build_price_fn(self):
+        model = self.model
+        product = self.product
+        deltas_np = model.deltas
+        n = model.num_libors
+        K = product.strike
+        degree = self.basis_degree
+
+        def price(params):
+            def collect(e, L, N):
+                delta = jnp.asarray(deltas_np, dtype=FLOAT_DTYPE)
+                j = jnp.arange(n)[:, None]
+                r = jnp.where(j >= e, 1.0 / (1.0 + delta[:, None] * L), 1.0)
+                cp = jnp.cumprod(r, axis=0)
+                m_end = product.maturity_index - 1
+                p_end = cp[m_end]
+                mask = np.zeros((n,), dtype=np.float32)
+                mask[e:product.maturity_index] = deltas_np[e:product.maturity_index]
+                ann = jnp.asarray(mask) @ cp          # [paths]
+                swap_value = 1.0 - p_end - K * ann    # payer swap at T_e
+                return swap_value, ann, p_end, N
+
+            collected = self._engine._simulate_segments(params, collect)
+
+            # backward induction in numeraire-discounted units
+            exercised = None
+            for (swap_value, ann, p_end, N) in reversed(collected):
+                inv_n = 1.0 / N
+                immediate = swap_value * inv_n        # exercise value / numeraire
+                if exercised is None:
+                    value = jnp.maximum(immediate, 0.0)
+                    continue_value = None
+                else:
+                    value_next = value
+                    # regression basis: polynomials of the swap value plus
+                    # annuity and terminal bond (state proxies at T_e)
+                    feats = [jnp.ones_like(swap_value), ann, p_end]
+                    p = swap_value
+                    for _ in range(degree):
+                        feats.append(p)
+                        p = p * swap_value
+                    X = jnp.stack(feats).astype(ACC_DTYPE)
+                    y = value_next.astype(ACC_DTYPE)
+                    gram = X @ X.T
+                    eye = jnp.eye(gram.shape[0], dtype=ACC_DTYPE)
+                    beta = jnp.linalg.solve(gram + 1e-12 * jnp.trace(gram) * eye, X @ y)
+                    continuation = (beta @ X).astype(FLOAT_DTYPE)
+                    value = jnp.where(immediate > continuation, immediate, value_next)
+                exercised = True
+            return jnp.mean(value.astype(ACC_DTYPE))
+
+        return price
+
+    def get_value(self, params) -> float:
+        return float(self._price_fn(jnp.asarray(params, dtype=jnp.float64)))
+
+    getValue = get_value

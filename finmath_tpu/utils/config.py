@@ -1,0 +1,63 @@
+"""Runtime configuration: device selection, compilation cache, logging.
+
+The reference's config surface is Java system properties — notably
+``net.finmath.montecarlo.opencl.RandomVariableCuda.deviceIndex`` (negative
+values wrap from the end of the device list, RandomVariableCuda.java:72-83,
+:161-180) — plus a ``logging.properties`` wiring a ``net.finmath`` logger.
+Here the analogous knobs are environment variables:
+
+* ``FINMATH_TPU_DEVICE_INDEX``  — which device to use (negative wraps).
+* ``FINMATH_TPU_CACHE_DIR``     — persistent XLA compilation cache
+  directory ('' disables). TPU compiles of the big calibration programs
+  take minutes over a cold backend; the persistent cache makes every
+  process after the first start hot.
+
+and the ``finmath_tpu`` logger hierarchy (analog of ``net.finmath``).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+
+import jax
+
+logger = logging.getLogger("finmath_tpu")
+
+_DEFAULT_CACHE = os.path.join(
+    os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+    "finmath_tpu", "jax",
+)
+
+
+def enable_compilation_cache(path: str = None) -> str | None:
+    """Enable JAX's persistent compilation cache. Returns the directory in
+    use, or None if disabled via FINMATH_TPU_CACHE_DIR=''."""
+    cache_dir = path if path is not None else os.environ.get(
+        "FINMATH_TPU_CACHE_DIR", _DEFAULT_CACHE
+    )
+    if not cache_dir:
+        return None
+    Path(cache_dir).mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    logger.debug("persistent compilation cache at %s", cache_dir)
+    return cache_dir
+
+
+def select_device(index: int = None):
+    """Pick the default device by index; negative wraps from the end
+    (reference deviceIndex semantics). Reads FINMATH_TPU_DEVICE_INDEX when
+    ``index`` is None. Returns the chosen device (or None = JAX default)."""
+    if index is None:
+        raw = os.environ.get("FINMATH_TPU_DEVICE_INDEX")
+        if raw is None:
+            return None
+        index = int(raw)
+    devices = jax.devices()
+    device = devices[index % len(devices)]
+    jax.config.update("jax_default_device", device)
+    logger.info("selected device %s", device)
+    return device

@@ -1,0 +1,147 @@
+"""AAD (adjoint differentiation) tests.
+
+The reference's AAD story is the RandomVariableDifferentiableAAD wrapper
+with type priority above the device class (README.md:50-52); greeks for the
+baseline config "AAD greeks: delta/vega via custom-vjp" (BASELINE.md). We
+test both the eager tape (finmath-style workflow) and the jax.grad path on
+the jitted pricer.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from finmath_tpu.models.analytic import black_scholes_option_value
+from finmath_tpu.ops.aad import (
+    RandomVariableDifferentiable,
+    RandomVariableDifferentiableFactory,
+)
+from finmath_tpu.ops.conditional_expectation import monomial_basis
+from finmath_tpu.ops.random_variable import RandomVariableTPU
+
+S0, R, SIGMA, T, K = 1.0, 0.05, 0.30, 1.0, 1.05
+N_PATHS = 100_000
+
+
+def _growth_factor(seed=0):
+    rng = np.random.default_rng(seed)
+    z = rng.standard_normal(N_PATHS).astype(np.float32)
+    return RandomVariableTPU(
+        0.0,
+        np.exp((R - SIGMA**2 / 2) * T + SIGMA * math.sqrt(T) * z).astype(np.float32),
+    )
+
+
+class TestTape:
+    def test_elementwise_gradient(self):
+        x = RandomVariableDifferentiable(
+            RandomVariableTPU(0.0, np.asarray([1.0, 2.0, 3.0], dtype=np.float32))
+        )
+        y = x.mult(2.0).add(3.0).squared().average()
+        g = y.get_gradient([x])[x.get_id()]
+        expected = 4.0 * (2 * np.asarray([1.0, 2.0, 3.0]) + 3) / 3
+        np.testing.assert_allclose(
+            np.asarray(g.get_realizations()), expected, rtol=1e-6
+        )
+
+    def test_unary_chain_rules(self):
+        vals = np.asarray([0.5, 1.0, 2.0], dtype=np.float32)
+        x = RandomVariableDifferentiable(RandomVariableTPU(0.0, vals))
+        # d/dx mean(exp(log(x) * 2)) = d/dx mean(x^2) = 2x/n
+        y = x.log().mult(2.0).exp().average()
+        g = y.get_gradient([x])[x.get_id()]
+        np.testing.assert_allclose(
+            np.asarray(g.get_realizations()), 2 * vals / 3, rtol=1e-4
+        )
+
+    def test_deterministic_leaf_adjoint_is_summed(self):
+        """The adjoint of a broadcast scalar must be summed over paths."""
+        s = RandomVariableDifferentiable(RandomVariableTPU(0.0, 2.0))
+        v = RandomVariableTPU(0.0, np.asarray([1.0, 2.0, 3.0], dtype=np.float32))
+        y = s.mult(v).average()  # = s * mean(v); dy/ds = mean(v) = 2
+        g = y.get_gradient([s])[s.get_id()]
+        assert g.is_deterministic()
+        assert g.double_value() == pytest.approx(2.0, rel=1e-6)
+
+    def test_type_priority_promotion(self):
+        x = RandomVariableDifferentiable(
+            RandomVariableTPU(0.0, np.asarray([1.0, 2.0], dtype=np.float32))
+        )
+        plain = RandomVariableTPU(0.0, np.asarray([5.0, 5.0], dtype=np.float32))
+        mixed = plain.sub(x)  # plain has lower priority -> promotes
+        assert isinstance(mixed, RandomVariableDifferentiable)
+        np.testing.assert_allclose(np.asarray(mixed.get_realizations()), [4.0, 3.0])
+        g = mixed.average().get_gradient([x])[x.get_id()]
+        # the adjoint is constant across paths, so it may come back in the
+        # deterministic (broadcast) representation
+        if g.is_deterministic():
+            assert g.double_value() == pytest.approx(-0.5)
+        else:
+            np.testing.assert_allclose(np.asarray(g.get_realizations()), [-0.5, -0.5])
+
+
+class TestGreeks:
+    def test_aad_delta_matches_analytic(self):
+        s0 = RandomVariableDifferentiable(RandomVariableTPU(0.0, S0))
+        price = (
+            s0.mult(_growth_factor())
+            .sub(K)
+            .floor(0.0)
+            .mult(math.exp(-R * T))
+            .average()
+        )
+        delta = price.get_gradient([s0])[s0.get_id()].double_value()
+        eps = 1e-4
+        analytic_delta = (
+            black_scholes_option_value(S0 + eps, R, SIGMA, T, K)
+            - black_scholes_option_value(S0 - eps, R, SIGMA, T, K)
+        ) / (2 * eps)
+        # pathwise delta has MC error ~ 1/sqrt(N)
+        assert delta == pytest.approx(analytic_delta, abs=0.01)
+
+    def test_factory_roundtrip(self):
+        f = RandomVariableDifferentiableFactory()
+        rv = f.create_random_variable(1.0, 3.0)
+        assert isinstance(rv, RandomVariableDifferentiable)
+        assert rv.get_filtration_time() == 1.0
+        assert rv.double_value() == 3.0
+
+    def test_jax_grad_path_vega(self):
+        """The TPU-first greek path: jax.grad through the fused pricer."""
+        import jax
+        import jax.numpy as jnp
+
+        from finmath_tpu.models.black_scholes import _mc_bs_price_kernel
+
+        def price(sigma):
+            return _mc_bs_price_kernel(
+                jax.random.PRNGKey(0), 200_000, 20,
+                jnp.float64(S0), jnp.float64(R), sigma,
+                jnp.float64(T), jnp.float64(K),
+            )
+
+        vega = float(jax.grad(price)(jnp.float64(SIGMA)))
+        eps = 1e-3
+        analytic_vega = (
+            black_scholes_option_value(S0, R, SIGMA + eps, T, K)
+            - black_scholes_option_value(S0, R, SIGMA - eps, T, K)
+        ) / (2 * eps)
+        assert vega == pytest.approx(analytic_vega, rel=0.05)
+
+
+class TestConditionalExpectation:
+    def test_regression_recovers_function(self):
+        rng = np.random.default_rng(0)
+        xs = rng.uniform(-1, 1, 50_000).astype(np.float32)
+        noise = (rng.standard_normal(50_000) * 0.1).astype(np.float32)
+        target = RandomVariableTPU(0.0, xs * xs + noise)
+        est = monomial_basis(RandomVariableTPU(0.0, xs), 3)
+        fitted = target.get_conditional_expectation(est)
+        err = np.max(np.abs(np.asarray(fitted.get_realizations()) - xs * xs))
+        assert err < 0.01
+
+    def test_deterministic_passthrough(self):
+        est = monomial_basis(RandomVariableTPU(0.0, np.ones(10, np.float32)), 2)
+        det = RandomVariableTPU(0.0, 5.0)
+        assert det.get_conditional_expectation(est).double_value() == 5.0
