@@ -178,11 +178,30 @@ class LMMValuationEngine:
 
     def __init__(self, model: LIBORMarketModelTPU,
                  products: Sequence[SwaptionProduct],
-                 num_paths: int, num_factors: int, seed: int = 31415):
+                 num_paths: int, num_factors: int, seed: int = 31415,
+                 mesh=None, path_axis: str = "paths"):
+        """``mesh``: optional jax.sharding.Mesh — Monte-Carlo paths are then
+        data-parallel over its ``path_axis``: each device folds its own RNG
+        key, simulates num_paths/n_devices paths locally, and every
+        expectation becomes a local f64 sum + psum over ICI. The parameter
+        vector stays replicated, so jacfwd Jacobians flow through the
+        collective unchanged (the multi-chip story of SURVEY.md §2/§5 —
+        the reference is single-device)."""
         self.model = model
         self.num_paths = int(num_paths)
         self.num_factors = int(num_factors)
         self.seed = int(seed)
+        self.mesh = mesh
+        self.path_axis = path_axis
+        if mesh is not None:
+            n_dev = int(np.prod(mesh.devices.shape))
+            if self.num_paths % n_dev:
+                raise ValueError(
+                    f"num_paths {self.num_paths} not divisible by mesh size {n_dev}"
+                )
+            self._local_paths = self.num_paths // n_dev
+        else:
+            self._local_paths = self.num_paths
 
         n = model.num_libors
         grid_end = model.libor_td.get_last_time()
@@ -234,9 +253,28 @@ class LMMValuationEngine:
             raise ValueError(f"mixed value units not supported: {units}")
         self.value_unit = units.pop()
 
-        self._residual_fn = jax.jit(self._build_residual_fn())
-        self._jac_fn = jax.jit(jax.jacfwd(self._build_residual_fn()))
-        self._values_fn = jax.jit(self._build_values_fn())
+        self._residual_fn = jax.jit(self._shard(self._build_residual_fn()))
+        self._jac_fn = jax.jit(jax.jacfwd(self._shard(self._build_residual_fn())))
+        self._values_fn = jax.jit(self._shard(self._build_values_fn()))
+
+    # ------------------------------------------------------------------
+    def _shard(self, fn):
+        """Wrap a params -> per-product-vector function in shard_map over
+        the path axis (identity when no mesh was given)."""
+        if self.mesh is None:
+            return fn
+        from jax.sharding import PartitionSpec as P
+
+        return jax.shard_map(
+            fn, mesh=self.mesh, in_specs=P(), out_specs=P()
+        )
+
+    def _pmean(self, x: jax.Array) -> jax.Array:
+        """Mean over the (possibly device-sharded) path axis, f64 accumulate."""
+        s = jnp.sum(x.astype(ACC_DTYPE), axis=-1)
+        if self.mesh is not None:
+            s = jax.lax.psum(s, self.path_axis)
+        return s / self.num_paths
 
     # ------------------------------------------------------------------
     def _simulate_segments(self, params, collect):
@@ -246,7 +284,7 @@ class LMMValuationEngine:
         model = self.model
         n = model.num_libors
         cov = model.covariance
-        paths = self.num_paths
+        paths = self._local_paths
         F = self.num_factors
 
         vol_table, R = cov.loading_tables(params)      # [steps, n] f64, [n, F]
@@ -262,6 +300,11 @@ class LMMValuationEngine:
         idx = jnp.arange(n)[:, None]                                  # [n, 1]
 
         base_key = jax.random.PRNGKey(self.seed)
+        if self.mesh is not None:
+            # distinct counter-based stream per device: no RNG broadcast
+            base_key = jax.random.fold_in(
+                base_key, jax.lax.axis_index(self.path_axis)
+            )
 
         def step(carry, m):
             L, N = carry
@@ -286,6 +329,11 @@ class LMMValuationEngine:
 
         L = L0_b
         N = jnp.ones((paths,), dtype=FLOAT_DTYPE)
+        if self.mesh is not None:
+            # initial carries are replicated constants but evolve
+            # device-varying inside shard_map; mark them varying
+            L = jax.lax.pcast(L, (self.path_axis,), to="varying")
+            N = jax.lax.pcast(N, (self.path_axis,), to="varying")
         collected = []
         prev = 0
         for e in self.exercise_indices:
@@ -311,7 +359,7 @@ class LMMValuationEngine:
                 r = jnp.where(j >= e, 1.0 / (1.0 + delta[:, None] * L), 1.0)
                 cp = jnp.cumprod(r, axis=0)            # cp[j] = P(T_e, T_{j+1})
                 inv_n = (1.0 / N).astype(ACC_DTYPE)
-                mean_inv_n = jnp.mean(inv_n)
+                mean_inv_n = self._pmean(inv_n)
                 # batched annuities: [P_e, n] @ [n, paths] on the MXU
                 mask = np.zeros((len(prods), n), dtype=np.float32)
                 ends = []
@@ -325,7 +373,7 @@ class LMMValuationEngine:
                                       dtype=FLOAT_DTYPE)[:, None]
                 payoff = jnp.maximum(1.0 - p_end - strikes * ann, 0.0)
                 disc_payoff = payoff.astype(ACC_DTYPE) * inv_n[None, :]
-                raw = jnp.mean(disc_payoff, axis=1)    # E[payoff / N]
+                raw = self._pmean(disc_payoff)         # E[payoff / N]
                 return raw, mean_inv_n
 
             collected = self._simulate_segments(params, collect)

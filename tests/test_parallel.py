@@ -56,3 +56,55 @@ class TestShardedMonteCarlo:
         assert vega == pytest.approx(fd, rel=5e-2)
         # and in the right analytic ballpark (BS vega ~ 0.37 here)
         assert 0.2 < vega < 0.6
+
+
+class TestShardedLMM:
+    """Path-sharded LMM valuation: psum expectations, per-device RNG
+    streams, gradients through the collective."""
+
+    @pytest.fixture(scope="class")
+    def engines(self, mesh):
+        from finmath_tpu.models.lmm.atm_calibration import build_atm_calibration
+        from finmath_tpu.models.lmm.model import LMMValuationEngine
+
+        setup = build_atm_calibration(num_paths=1600, num_factors=1)
+        sharded = LMMValuationEngine(
+            setup.model, setup.products, 1600, 1, seed=31415, mesh=mesh
+        )
+        return setup, sharded
+
+    def test_sharded_matches_unsharded_within_mc_noise(self, engines):
+        setup, sharded = engines
+        p0 = setup.covariance.initial_parameters
+        r_sh = sharded.residuals(p0)
+        r_un = setup.engine.residuals(p0)
+        # different RNG streams -> agreement only to MC error
+        # (~vol-units noise at 1600 paths is a few 1e-4)
+        assert np.max(np.abs(r_sh - r_un)) < 2e-3
+        assert np.array_equal(r_sh, sharded.residuals(p0))  # deterministic
+
+    def test_indivisible_paths_rejected(self, mesh):
+        from finmath_tpu.models.lmm.atm_calibration import build_atm_calibration
+        from finmath_tpu.models.lmm.model import LMMValuationEngine
+
+        setup = build_atm_calibration(num_paths=1600, num_factors=1)
+        with pytest.raises(ValueError):
+            LMMValuationEngine(setup.model, setup.products, 1601, 1, mesh=mesh)
+
+    def test_gradient_through_collective(self, engines):
+        import jax
+        import jax.numpy as jnp
+
+        setup, sharded = engines
+        p0 = jnp.asarray(setup.covariance.initial_parameters)
+        residual_fn = sharded._shard(sharded._build_residual_fn())
+
+        @jax.jit
+        def loss(params):
+            r = residual_fn(params)
+            return jnp.sum(r * r)
+
+        g = jax.grad(loss)(p0)
+        assert np.all(np.isfinite(np.asarray(g)))
+        # gradient descent step must reduce the loss
+        assert float(loss(p0 - 0.05 * g)) < float(loss(p0))
