@@ -80,19 +80,26 @@ def bench_lmm_atm_calibration():
 
 def bench_mc_black_scholes():
     """Secondary config: MC Black-Scholes 1M paths x 100 steps
-    (reference: 0.09 s GPU / 4.0 s CPU, README.md:212-215)."""
+    (reference: 0.09 s GPU / 4.0 s CPU, README.md:212-215). Reports both
+    the XLA-scan pricer and the fused Pallas kernel."""
     from finmath_tpu.models.black_scholes import mc_european_call_price
+    from finmath_tpu.ops.kernels import mc_european_call_price_pallas
 
     n_paths, n_steps = 1_000_000, 100
     args = (1.0, 0.05, 0.30, 1.0, 1.05)
-    mc_european_call_price(0, n_paths, n_steps, *args)  # compile
-    times = []
-    for seed in range(1, 4):
-        t0 = time.perf_counter()
-        price = mc_european_call_price(seed, n_paths, n_steps, *args)
-        times.append(time.perf_counter() - t0)
-    return {"wall_s": round(min(times), 5), "price": round(price, 6),
-            "reference_gpu_s": 0.09, "reference_cpu_s": 4.00}
+    out = {}
+    for name, fn in (("scan", mc_european_call_price),
+                     ("pallas", mc_european_call_price_pallas)):
+        fn(0, n_paths, n_steps, *args)  # compile
+        times = []
+        for seed in range(1, 4):
+            t0 = time.perf_counter()
+            price = fn(seed, n_paths, n_steps, *args)
+            times.append(time.perf_counter() - t0)
+        out[name] = {"wall_s": round(min(times), 5), "price": round(price, 6)}
+    out["reference_gpu_s"] = 0.09
+    out["reference_cpu_s"] = 4.00
+    return out
 
 
 def main():

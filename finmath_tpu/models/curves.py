@@ -86,6 +86,46 @@ class ForwardCurve:
         return f"ForwardCurve({self.name})"
 
 
+class ForwardCurveFromForwards:
+    """Forward curve interpolated from given (fixing, forward) pairs —
+    finmath's ForwardCurveInterpolation.createForwardCurveFromForwards as
+    used by the benchmark test (LIBORMarketModelCalibrationTest.java:
+    195-215: 100 semiannual fixings to 50Y). Linear interpolation in the
+    fixing time, constant extrapolation."""
+
+    def __init__(self, fixing_times, forwards, payment_offset: float = 0.5,
+                 name: str = "forwardCurve"):
+        self.fixing_times = np.asarray(fixing_times, dtype=np.float64)
+        self.forwards = np.asarray(forwards, dtype=np.float64)
+        self.payment_offset = float(payment_offset)
+        self.name = name
+
+    def get_forward(self, fixing_time) -> np.ndarray:
+        t = np.asarray(fixing_time, dtype=np.float64)
+        return np.interp(t, self.fixing_times, self.forwards)
+
+    getForward = get_forward
+
+
+class DiscountCurveFromForwardCurve(DiscountCurve):
+    """Discount factors implied by a forward curve in the single-curve
+    setup: df(T_{j+1}) = df(T_j) / (1 + delta * f(T_j)) — finmath's
+    DiscountCurveFromForwardCurve (benchmark test :216, ATM test :355)."""
+
+    def __init__(self, forward_curve, horizon: float = 50.0,
+                 name: str = "discountCurveFromForwardCurve"):
+        delta = forward_curve.payment_offset
+        n = int(round(horizon / delta))
+        times = [0.0]
+        factors = [1.0]
+        for j in range(n):
+            t = j * delta
+            f = float(forward_curve.get_forward(t))
+            factors.append(factors[-1] / (1.0 + delta * f))
+            times.append(t + delta)
+        super().__init__(times, factors, name)
+
+
 # ---------------------------------------------------------------------------
 # swap analytics on curves (host, float64)
 # ---------------------------------------------------------------------------

@@ -112,10 +112,13 @@ class ATMCalibrationSetup:
 def build_atm_calibration(num_paths: int = 10_000, num_factors: int = 1,
                           seed: int = 31415,
                           model_type: str = "NORMAL",
-                          discount_curve: Optional[DiscountCurve] = None
-                          ) -> ATMCalibrationSetup:
+                          discount_curve: Optional[DiscountCurve] = None,
+                          calibration_product_type: str = "MONTECARLO",
+                          mesh=None) -> ATMCalibrationSetup:
     """Assemble the full ATM workload (curves -> surface -> products ->
-    model -> engine). ``model_type``: NORMAL | DISPLACED (ref. :296-306)."""
+    model -> engine). ``model_type``: NORMAL | DISPLACED (ref. :296-306);
+    ``calibration_product_type``: MONTECARLO (SwaptionSimple) | ANALYTIC
+    (SwaptionGeneralizedAnalyticApproximation) — ref. :108-118, :505-521."""
     dc = discount_curve or get_calibrated_eur_curve()
     fc = ForwardCurve(dc, SWAP_PERIOD_LENGTH)
 
@@ -159,7 +162,17 @@ def build_atm_calibration(num_paths: int = 10_000, num_factors: int = 1,
         libor_td, fc, dc, covariance,
         measure="spot", state_space="normal", use_numeraire_adjustment=True,
     )
-    engine = LMMValuationEngine(model, products, num_paths, num_factors, seed)
+    if calibration_product_type == "ANALYTIC":
+        from .analytic_approximation import LMMAnalyticSwaptionEngine
+
+        engine = LMMAnalyticSwaptionEngine(model, products)
+    elif calibration_product_type == "MONTECARLO":
+        engine = LMMValuationEngine(model, products, num_paths, num_factors,
+                                    seed, mesh=mesh)
+    else:
+        raise ValueError(
+            f"unknown calibration_product_type {calibration_product_type}"
+        )
     return ATMCalibrationSetup(
         engine=engine, model=model, covariance=covariance,
         discount_curve=dc, forward_curve=fc, products=products,

@@ -118,9 +118,33 @@ class LIBORCorrelationModelExponentialDecay:
         return self._factors
 
 
+def factor_reduce(corr: jax.Array, num_factors: int) -> jax.Array:
+    """Differentiable factor reduction: top-F eigenpairs of a correlation
+    matrix, rows renormalized to unit norm. Returns [n, F]."""
+    w, v = jnp.linalg.eigh(corr)                     # ascending
+    w_top = w[-num_factors:]
+    v_top = v[:, -num_factors:]
+    F = v_top * jnp.sqrt(jnp.maximum(w_top, 0.0))[None, :]
+    norms = jnp.linalg.norm(F, axis=1, keepdims=True)
+    return F / jnp.where(norms > 0, norms, 1.0)
+
+
 class LIBORCovarianceModelFromVolatilityAndCorrelation:
     """lambda_{i,f}(t) = sigma_i(t) * R_{i,f} — ref.
-    LIBORCovarianceModelFromVolatilityAndCorrelation (ATM test :291)."""
+    LIBORCovarianceModelFromVolatilityAndCorrelation (ATM test :291).
+
+    Covariance API consumed by the valuation engine:
+
+    * ``prepare(params)``               -> opaque pytree ``prep`` (built once
+                                           per parameter vector, inside jit)
+    * ``vol_table(prep)``               -> [steps, libors] scalar vols
+    * ``factor_matrix(prep)``           -> [libors, F]
+    * ``local_factor(prep, L, L0)``     -> [libors, paths] multiplier
+    * ``stoch_vol_params(prep)``        -> (nu, rho) or None
+    """
+
+    has_local_vol = False
+    has_stoch_vol = False
 
     def __init__(self, volatility_model: LIBORVolatilityModelPiecewiseConstant,
                  correlation_model: LIBORCorrelationModelExponentialDecay):
@@ -130,22 +154,72 @@ class LIBORCovarianceModelFromVolatilityAndCorrelation:
         self.initial_parameters = volatility_model.initial_parameters
         self.num_factors = correlation_model.num_factors
 
-    def loading_tables(self, params: jax.Array):
-        """Returns (vol_table [steps, libor], factor_matrix [libor, F]).
-        The engine combines them as vol[m,i] * R[i,f] (and applies any
-        local-volatility multiplier per step)."""
-        return (self.volatility_model.vol_table(params),
-                self.correlation_model.factor_matrix)
+    # -- covariance API ---------------------------------------------------
+    def prepare(self, params: jax.Array):
+        return params
 
-    # local-volatility hooks (overridden by wrappers); the engine calls
-    # local_factor(L, L0) each step and multiplies the loadings by it.
-    has_local_vol = False
+    def vol_table(self, prep) -> jax.Array:
+        return self.volatility_model.vol_table(prep)
 
-    def local_factor(self, L: jax.Array, L0: jax.Array) -> jax.Array:
+    def factor_matrix(self, prep) -> jax.Array:
+        return self.correlation_model.factor_matrix
+
+    def local_factor(self, prep, L: jax.Array, L0: jax.Array) -> jax.Array:
         return jnp.ones_like(L)
 
+    def stoch_vol_params(self, prep):
+        return None
 
-class DisplacedLocalVolatilityModel(LIBORCovarianceModelFromVolatilityAndCorrelation):
+    # backwards-compatible helper
+    def loading_tables(self, params: jax.Array):
+        prep = self.prepare(params)
+        return self.vol_table(prep), self.factor_matrix(prep)
+
+
+class _CovarianceWrapper(LIBORCovarianceModelFromVolatilityAndCorrelation):
+    """Base for wrappers that delegate the covariance API to a wrapped
+    model, possibly appending their own calibration parameters."""
+
+    def __init__(self, base, extra_params: np.ndarray):
+        self.base = base
+        self.num_factors = base.num_factors
+        self._n_extra = len(extra_params)
+        self.n_params = base.n_params + self._n_extra
+        self.initial_parameters = np.concatenate(
+            [base.initial_parameters, np.asarray(extra_params, dtype=np.float64)]
+        )
+
+    def _split(self, params):
+        if self._n_extra == 0:
+            return params, jnp.asarray([], dtype=jnp.float64)
+        return params[: -self._n_extra], params[-self._n_extra:]
+
+    def prepare(self, params):
+        base_params, extra = self._split(params)
+        return (self.base.prepare(base_params), extra)
+
+    def vol_table(self, prep):
+        return self.base.vol_table(prep[0])
+
+    def factor_matrix(self, prep):
+        return self.base.factor_matrix(prep[0])
+
+    def local_factor(self, prep, L, L0):
+        return self.base.local_factor(prep[0], L, L0)
+
+    def stoch_vol_params(self, prep):
+        return self.base.stoch_vol_params(prep[0])
+
+    @property
+    def has_local_vol(self):
+        return self.base.has_local_vol
+
+    @property
+    def has_stoch_vol(self):
+        return self.base.has_stoch_vol
+
+
+class DisplacedLocalVolatilityModel(_CovarianceWrapper):
     """Displaced diffusion: loadings scaled by (L_i + d) — ref.
     DisplacedLocalVolatilityModel(cov, 1/0.25, isCalibrateable=false)
     (ATM test :294). With NORMAL state space this makes the model
@@ -153,37 +227,116 @@ class DisplacedLocalVolatilityModel(LIBORCovarianceModelFromVolatilityAndCorrela
 
     has_local_vol = True
 
-    def __init__(self, base: LIBORCovarianceModelFromVolatilityAndCorrelation,
-                 displacement: float, is_calibrateable: bool = False):
-        self.base = base
-        self.displacement = float(displacement)
-        self.volatility_model = base.volatility_model
-        self.correlation_model = base.correlation_model
-        self.n_params = base.n_params
-        self.initial_parameters = base.initial_parameters
-        self.num_factors = base.num_factors
+    def __init__(self, base, displacement: float, is_calibrateable: bool = False):
+        extra = [displacement] if is_calibrateable else []
+        super().__init__(base, np.asarray(extra))
+        self._fixed_displacement = None if is_calibrateable else float(displacement)
 
-    def local_factor(self, L: jax.Array, L0: jax.Array) -> jax.Array:
-        return L + self.displacement
+    def local_factor(self, prep, L, L0):
+        base_prep, extra = prep
+        d = self._fixed_displacement if self._fixed_displacement is not None \
+            else extra[0].astype(L.dtype)
+        return (L + d) * self.base.local_factor(base_prep, L, L0)
 
 
-class BlendedLocalVolatilityModel(LIBORCovarianceModelFromVolatilityAndCorrelation):
+class BlendedLocalVolatilityModel(_CovarianceWrapper):
     """Blended (lognormal/normal mix) local volatility: loadings scaled by
-    ((1-b) L_i + b L_i(0)) — finmath BlendedLocalVolatilityModel semantics
-    used by the benchmark test's 5-param model
-    (LIBORMarketModelCalibrationTest.java:246-276)."""
+    (b L_i(0) + (1-b) L_i(t)) — finmath BlendedLocalVolatilityModel used by
+    the benchmark test (LIBORMarketModelCalibrationTest.java:271-273,
+    b=0.2, calibrateable)."""
 
     has_local_vol = True
 
-    def __init__(self, base: LIBORCovarianceModelFromVolatilityAndCorrelation,
-                 blend: float, is_calibrateable: bool = False):
-        self.base = base
-        self.blend = float(blend)
-        self.volatility_model = base.volatility_model
-        self.correlation_model = base.correlation_model
-        self.n_params = base.n_params
-        self.initial_parameters = base.initial_parameters
-        self.num_factors = base.num_factors
+    def __init__(self, base, blend: float, is_calibrateable: bool = True):
+        extra = [blend] if is_calibrateable else []
+        super().__init__(base, np.asarray(extra))
+        self._fixed_blend = None if is_calibrateable else float(blend)
 
-    def local_factor(self, L: jax.Array, L0: jax.Array) -> jax.Array:
-        return (1.0 - self.blend) * L + self.blend * L0
+    def local_factor(self, prep, L, L0):
+        base_prep, extra = prep
+        b = self._fixed_blend if self._fixed_blend is not None \
+            else extra[0].astype(L.dtype)
+        return ((1.0 - b) * L + b * L0) * self.base.local_factor(base_prep, L, L0)
+
+
+class LIBORCovarianceModelExponentialForm5Param(
+    LIBORCovarianceModelFromVolatilityAndCorrelation
+):
+    """5-parameter covariance: sigma_i(t) = (a + b ttm) exp(-c ttm) + d,
+    correlation rho_ij = exp(-e |T_i - T_j|) factor-reduced — ref.
+    LIBORCovarianceModelExponentialForm5Param(td, liborTd, 5 factors,
+    {0.20, 0.05, 0.10, 0.05, 0.10}) (benchmark test :269). All five
+    parameters are calibrateable; the factor reduction (eigh) happens
+    inside the differentiable graph."""
+
+    has_local_vol = False
+    has_stoch_vol = False
+
+    def __init__(self, simulation_td: TimeDiscretization,
+                 libor_td: TimeDiscretization, num_factors: int,
+                 parameters=(0.20, 0.05, 0.10, 0.05, 0.10)):
+        self.simulation_td = simulation_td
+        self.libor_td = libor_td
+        self.num_factors = int(num_factors)
+        self.n_params = 5
+        self.initial_parameters = np.asarray(parameters, dtype=np.float64)
+
+        n_steps = simulation_td.get_number_of_time_steps()
+        n_libor = libor_td.get_number_of_time_steps()
+        t = np.asarray([simulation_td.get_time(m) for m in range(n_steps)])
+        T = np.asarray([libor_td.get_time(i) for i in range(n_libor)])
+        ttm = T[None, :] - t[:, None]                     # [steps, libors]
+        self._ttm = jnp.asarray(np.maximum(ttm, 0.0))
+        self._alive = jnp.asarray(ttm > 0)
+        self._tenor_dist = jnp.asarray(np.abs(T[:, None] - T[None, :]))
+
+    def prepare(self, params):
+        a, b, c, d, e = params[0], params[1], params[2], params[3], params[4]
+        vol = (a + b * self._ttm) * jnp.exp(-c * self._ttm) + d
+        vol = jnp.where(self._alive, vol, 0.0)
+        corr = jnp.exp(-jnp.abs(e) * self._tenor_dist)
+        R = factor_reduce(corr, self.num_factors)
+        return (vol, R)
+
+    def vol_table(self, prep):
+        return prep[0]
+
+    def factor_matrix(self, prep):
+        return prep[1]
+
+    def local_factor(self, prep, L, L0):
+        return jnp.ones_like(L)
+
+    def stoch_vol_params(self, prep):
+        return None
+
+
+class LIBORCovarianceModelStochasticVolatility(_CovarianceWrapper):
+    """Stochastic volatility scaling — ref.
+    LIBORCovarianceModelStochasticVolatility(cov, brownianMotionView2,
+    nu=0.15, rho=0.20, calibrateable) (benchmark test :275).
+
+    Factor loadings are scaled by sqrt(V(t)) with the lognormal martingale
+    variance process V(t) = exp(nu W_V(t) - nu^2 t / 2), V(0)=1, where
+    dW_V = rho dW_1 + sqrt(1-rho^2) dW_extra: the variance driver is
+    correlated with the first rate factor and otherwise independent (the
+    reference wires this via a BrownianMotionView on factors {0, extra},
+    :267-269). The engine simulates V exactly (lognormal step) alongside
+    the forwards, consuming one additional Brownian factor."""
+
+    has_stoch_vol = True
+
+    def __init__(self, base, nu: float = 0.15, rho: float = 0.20,
+                 is_calibrateable: bool = True,
+                 scaling_exponent: float = 0.5):
+        extra = [nu, rho] if is_calibrateable else []
+        super().__init__(base, np.asarray(extra))
+        self._fixed = None if is_calibrateable else (float(nu), float(rho))
+        #: loadings are scaled by V(t)**scaling_exponent (0.5 = sqrt)
+        self.scaling_exponent = float(scaling_exponent)
+
+    def stoch_vol_params(self, prep):
+        base_prep, extra = prep
+        if self._fixed is not None:
+            return self._fixed
+        return (extra[0], extra[1])

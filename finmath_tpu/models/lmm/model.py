@@ -88,20 +88,39 @@ def bachelier_implied_vol_jnp(value, forward, strike, maturity, annuity,
 
 
 def black_implied_vol_jnp(value, forward, strike, maturity, annuity,
-                          num_iter: int = 40):
-    """Differentiable Black (lognormal) implied volatility via Newton."""
-    sqrt_t = jnp.sqrt(maturity)
-    p = jnp.maximum(value / annuity, 1e-14)
-    # initial guess via Bachelier vol mapped to lognormal scale
-    sigma0 = jnp.maximum(p * _SQRT_2PI / sqrt_t / jnp.maximum(forward, 1e-8), 1e-4)
+                          num_iter: int = 60):
+    """Differentiable Black (lognormal) implied volatility.
 
-    def body(sigma, _):
+    Deep in-the-money options have almost no vega, so we invert the TIME
+    VALUE of the out-of-the-money twin (call-put parity: equal time value,
+    same vega, far better conditioning) with Newton from the
+    Manaster-Koehler seed sigma0 = sqrt(2|ln(F/K)|/T) (globally convergent
+    for Black)."""
+    sqrt_t = jnp.sqrt(maturity)
+    p = value / annuity
+    intrinsic = jnp.maximum(forward - strike, 0.0)
+    time_value = jnp.maximum(p - intrinsic, 1e-14)
+    # OTM twin: if F >= K invert the put (value = time value), else the call
+    is_itm = forward >= strike
+
+    sigma0 = jnp.maximum(
+        jnp.sqrt(2.0 * jnp.abs(jnp.log(forward / strike)) / maturity), 1e-2
+    )
+
+    def otm_value(sigma):
         v = jnp.maximum(sigma, 1e-8) * sqrt_t
         d1 = jnp.log(forward / strike) / v + 0.5 * v
         d2 = d1 - v
-        val = forward * _ncdf(d1) - strike * _ncdf(d2)
+        call = forward * _ncdf(d1) - strike * _ncdf(d2)
+        put = call - (forward - strike)
         vega = forward * sqrt_t * _npdf(d1)
-        step = (val - p) / jnp.maximum(vega, 1e-14)
+        return jnp.where(is_itm, put, call), vega
+
+    def body(sigma, _):
+        val, vega = otm_value(sigma)
+        step = (val - time_value) / jnp.maximum(vega, 1e-16)
+        # damped Newton: cap the multiplicative move to keep it stable
+        step = jnp.clip(step, -0.5 * sigma, 0.5 * sigma)
         return jnp.clip(sigma - step, 1e-8, 10.0), None
 
     sigma, _ = jax.lax.scan(body, sigma0, None, length=num_iter)
@@ -287,9 +306,10 @@ class LMMValuationEngine:
         paths = self._local_paths
         F = self.num_factors
 
-        vol_table, R = cov.loading_tables(params)      # [steps, n] f64, [n, F]
-        vol_table = vol_table.astype(FLOAT_DTYPE)
-        R = R.astype(FLOAT_DTYPE)
+        prep = cov.prepare(params)
+        vol_table = cov.vol_table(prep).astype(FLOAT_DTYPE)   # [steps, n]
+        R = cov.factor_matrix(prep).astype(FLOAT_DTYPE)       # [n, F]
+        stoch_vol = cov.stoch_vol_params(prep) if cov.has_stoch_vol else None
         deltas = jnp.asarray(model.deltas, dtype=FLOAT_DTYPE)        # [n]
         dts = jnp.asarray(
             model.libor_td.get_step_sizes(), dtype=FLOAT_DTYPE
@@ -306,12 +326,26 @@ class LMMValuationEngine:
                 base_key, jax.lax.axis_index(self.path_axis)
             )
 
+        # stochastic volatility consumes one extra Brownian factor
+        # (ref. wires it via BrownianMotionView on factors {0, extra},
+        # benchmark test :267-269)
+        n_rng_factors = F + 1 if stoch_vol is not None else F
+        if stoch_vol is not None:
+            nu = stoch_vol[0].astype(FLOAT_DTYPE) if hasattr(stoch_vol[0], "astype") \
+                else jnp.asarray(stoch_vol[0], dtype=FLOAT_DTYPE)
+            rho = stoch_vol[1].astype(FLOAT_DTYPE) if hasattr(stoch_vol[1], "astype") \
+                else jnp.asarray(stoch_vol[1], dtype=FLOAT_DTYPE)
+
         def step(carry, m):
-            L, N = carry
+            L, N, V = carry
             alive = (idx >= m + 1)                                    # [n, 1]
             # numeraire accrues at the just-fixed forward L_m over [T_m, T_{m+1}]
             N = N * (1.0 + deltas[m] * L[m])
-            lam_t = vol_table[m][:, None] * cov.local_factor(L, L0_b)  # [n, paths]
+            lam_t = vol_table[m][:, None] * cov.local_factor(prep, L, L0_b)
+            if stoch_vol is not None:
+                exponent = getattr(cov, "scaling_exponent", 0.5)
+                scale = jnp.sqrt(V) if exponent == 0.5 else V ** exponent
+                lam_t = lam_t * scale[None, :]
             lam = lam_t[:, None, :] * R[:, :, None]                    # [n, F, paths]
             lam = jnp.where(alive[:, None, :], lam, 0.0)
             # spot-measure drift: masked prefix sum over the libor axis
@@ -320,25 +354,36 @@ class LMMValuationEngine:
             )                                                          # [n, F, paths]
             prefix = jnp.cumsum(c, axis=0)
             mu = jnp.sum(lam * prefix, axis=1)                         # [n, paths]
-            dw = jax.random.normal(
-                jax.random.fold_in(base_key, m), (F, paths), dtype=FLOAT_DTYPE
+            dw_all = jax.random.normal(
+                jax.random.fold_in(base_key, m), (n_rng_factors, paths),
+                dtype=FLOAT_DTYPE,
             ) * sqrt_dts[m]
+            dw = dw_all[:F]
             diffusion = jnp.einsum("nfp,fp->np", lam, dw)
             L_new = jnp.where(alive, L + mu * dts[m] + diffusion, L)
-            return (L_new, N), None
+            if stoch_vol is not None:
+                # exact lognormal martingale step for the variance process:
+                # dW_V = rho dW_1 + sqrt(1-rho^2) dW_extra
+                dw_v = rho * dw[0] + jnp.sqrt(
+                    jnp.maximum(1.0 - rho * rho, 0.0)
+                ) * dw_all[F]
+                V = V * jnp.exp(nu * dw_v - 0.5 * nu * nu * dts[m])
+            return (L_new, N, V), None
 
         L = L0_b
         N = jnp.ones((paths,), dtype=FLOAT_DTYPE)
+        V = jnp.ones((paths,), dtype=FLOAT_DTYPE)
         if self.mesh is not None:
             # initial carries are replicated constants but evolve
             # device-varying inside shard_map; mark them varying
             L = jax.lax.pcast(L, (self.path_axis,), to="varying")
             N = jax.lax.pcast(N, (self.path_axis,), to="varying")
+            V = jax.lax.pcast(V, (self.path_axis,), to="varying")
         collected = []
         prev = 0
         for e in self.exercise_indices:
             if e > prev:
-                (L, N), _ = jax.lax.scan(step, (L, N), jnp.arange(prev, e))
+                (L, N, V), _ = jax.lax.scan(step, (L, N, V), jnp.arange(prev, e))
                 prev = e
             collected.append(collect(e, L, N))
         return collected

@@ -1,0 +1,113 @@
+"""Tests for the benchmark-test model stack (5-param exponential
+covariance, blended local vol, stochastic vol, lognormal quotes) and the
+analytic swaption approximation.
+
+Maps the reference's LIBORMarketModelCalibrationTest (/root/reference/.../
+LIBORMarketModelCalibrationTest.java — the published-benchmark workload)
+and the ANALYTIC calibration-product variant of the ATM test. Sizes scaled
+down for CI; full sizes live in bench.py / the TPU runs.
+"""
+
+import numpy as np
+import pytest
+
+from finmath_tpu.models.curves import (
+    DiscountCurveFromForwardCurve,
+    ForwardCurveFromForwards,
+)
+from finmath_tpu.models.lmm.atm_calibration import build_atm_calibration
+from finmath_tpu.models.lmm.benchmark_calibration import (
+    FIXING_TIMES,
+    FORWARD_RATES,
+    build_benchmark_calibration,
+)
+
+
+class TestCurvesFromForwards:
+    def test_forward_interpolation(self):
+        fc = ForwardCurveFromForwards(FIXING_TIMES, FORWARD_RATES, 0.5)
+        assert fc.get_forward(0.0) == pytest.approx(0.0061)
+        assert fc.get_forward(10.0) == pytest.approx(0.0292)
+        # linear between pillars
+        mid = fc.get_forward(0.75)
+        assert min(0.0061, 0.0067) <= mid <= max(0.0061, 0.0067)
+
+    def test_discount_curve_consistency(self):
+        fc = ForwardCurveFromForwards(FIXING_TIMES, FORWARD_RATES, 0.5)
+        dc = DiscountCurveFromForwardCurve(fc, horizon=50.0)
+        # df must satisfy df(t)/df(t+0.5) = 1 + 0.5 * f(t) on the grid
+        for t in (0.0, 5.0, 19.5):
+            df0, df1 = dc.get_discount_factor([t, t + 0.5])
+            assert df0 / df1 - 1.0 == pytest.approx(0.5 * fc.get_forward(t), rel=1e-10)
+
+
+@pytest.fixture(scope="module")
+def bench_setup():
+    return build_benchmark_calibration(num_paths=2048, num_factors=5)
+
+
+class TestBenchmarkModel:
+    def test_workload_shape(self, bench_setup):
+        # 9 smile + 10 ATM quotes, minus expiries beyond the 20Y grid
+        assert len(bench_setup.products) == 15
+        assert bench_setup.covariance.n_params == 8  # 5 + blend + nu + rho
+
+    def test_initial_vols_in_market_ballpark(self, bench_setup):
+        p0 = bench_setup.covariance.initial_parameters
+        vols = bench_setup.engine.implied_vols(p0)
+        # lognormal vols of the initial parametrization: near-ATM quotes
+        # should come out in the 15%-45% range
+        atm_like = [v for v, p in zip(vols, bench_setup.engine.products)
+                    if abs(p.strike - p.target * 0) >= 0]  # all
+        assert np.median(vols) == pytest.approx(0.27, abs=0.08)
+
+    def test_stochastic_vol_changes_smile(self, bench_setup):
+        """nu must steepen the smile: compare deep-ITM vs ATM vol response."""
+        p0 = bench_setup.covariance.initial_parameters.copy()
+        base = bench_setup.engine.implied_vols(p0)
+        p_up = p0.copy()
+        p_up[-2] = 0.60  # crank nu
+        up = bench_setup.engine.implied_vols(p_up)
+        # smile wings move more than ATM under stochastic vol
+        assert not np.allclose(base, up, atol=1e-4)
+
+    def test_jacobian_all_params_active(self, bench_setup):
+        p0 = bench_setup.covariance.initial_parameters
+        J = bench_setup.engine.jacobian(p0)
+        assert J.shape == (15, 8)
+        assert np.all(np.isfinite(J))
+        # every parameter must influence at least one quote
+        col_norm = np.abs(J).sum(axis=0)
+        assert np.all(col_norm > 1e-8), col_norm
+
+    def test_short_calibration_improves_fit(self, bench_setup):
+        p0 = bench_setup.covariance.initial_parameters
+        rms0 = float(np.sqrt(np.mean(bench_setup.engine.residuals(p0) ** 2)))
+        res = bench_setup.calibrate(max_iterations=4, accuracy=1e-6)
+        assert res.rms_error < rms0
+
+
+class TestAnalyticApproximation:
+    def test_analytic_calibration_fast_and_accurate(self):
+        setup = build_atm_calibration(calibration_product_type="ANALYTIC")
+        res = setup.calibrate(max_iterations=100, accuracy=1e-9)
+        assert res.rms_error < 2e-4
+        assert abs(np.mean(setup.deviations(res.parameters))) < 5e-5
+
+    def test_analytic_agrees_with_monte_carlo(self):
+        analytic = build_atm_calibration(calibration_product_type="ANALYTIC")
+        p = analytic.covariance.initial_parameters
+        mc = build_atm_calibration(num_paths=4000, num_factors=1)
+        vols_mc = mc.engine.implied_vols(p)
+        vols_an = analytic.engine.implied_vols(p)
+        # frozen-weight approximation + MC noise: agreement at a few 1e-4
+        assert np.max(np.abs(vols_mc - vols_an)) < 1e-3
+
+    def test_rejects_lognormal_quotes(self):
+        from finmath_tpu.models.lmm.analytic_approximation import (
+            LMMAnalyticSwaptionEngine,
+        )
+
+        bench = build_benchmark_calibration(num_paths=256, num_factors=2)
+        with pytest.raises(NotImplementedError):
+            LMMAnalyticSwaptionEngine(bench.model, bench.products)
