@@ -93,11 +93,17 @@ class ATMCalibrationSetup:
     discount_curve: DiscountCurve
     forward_curve: ForwardCurve
     products: List[SwaptionProduct]
+    jacobian_engine: LMMValuationEngine = None
 
     def calibrate(self, max_iterations: int = 200, accuracy: float = 1e-7,
                   lambda0: float = 0.1) -> LMResult:
+        # The Jacobian only steers the Levenberg-Marquardt step, so it may
+        # be evaluated on a path subsample (jacobian_engine) while the
+        # residuals — which define convergence and the reported fit — stay
+        # at full resolution. This is the standard inexact-Jacobian LM.
+        jac = (self.jacobian_engine or self.engine).jacobian
         lm = LevenbergMarquardt(
-            self.engine.residuals, self.engine.jacobian,
+            self.engine.residuals, jac,
             lambda0=lambda0, max_iterations=max_iterations, accuracy=accuracy,
             lower_bound=0.0,
         )
@@ -114,7 +120,9 @@ def build_atm_calibration(num_paths: int = 10_000, num_factors: int = 1,
                           model_type: str = "NORMAL",
                           discount_curve: Optional[DiscountCurve] = None,
                           calibration_product_type: str = "MONTECARLO",
-                          mesh=None) -> ATMCalibrationSetup:
+                          mesh=None,
+                          jacobian_paths: Optional[int] = None
+                          ) -> ATMCalibrationSetup:
     """Assemble the full ATM workload (curves -> surface -> products ->
     model -> engine). ``model_type``: NORMAL | DISPLACED (ref. :296-306);
     ``calibration_product_type``: MONTECARLO (SwaptionSimple) | ANALYTIC
@@ -162,6 +170,7 @@ def build_atm_calibration(num_paths: int = 10_000, num_factors: int = 1,
         libor_td, fc, dc, covariance,
         measure="spot", state_space="normal", use_numeraire_adjustment=True,
     )
+    jacobian_engine = None
     if calibration_product_type == "ANALYTIC":
         from .analytic_approximation import LMMAnalyticSwaptionEngine
 
@@ -169,6 +178,10 @@ def build_atm_calibration(num_paths: int = 10_000, num_factors: int = 1,
     elif calibration_product_type == "MONTECARLO":
         engine = LMMValuationEngine(model, products, num_paths, num_factors,
                                     seed, mesh=mesh)
+        if jacobian_paths is not None and jacobian_paths < num_paths:
+            jacobian_engine = LMMValuationEngine(
+                model, products, jacobian_paths, num_factors, seed, mesh=mesh
+            )
     else:
         raise ValueError(
             f"unknown calibration_product_type {calibration_product_type}"
@@ -176,4 +189,5 @@ def build_atm_calibration(num_paths: int = 10_000, num_factors: int = 1,
     return ATMCalibrationSetup(
         engine=engine, model=model, covariance=covariance,
         discount_curve=dc, forward_curve=fc, products=products,
+        jacobian_engine=jacobian_engine,
     )

@@ -175,6 +175,11 @@ class LIBORMarketModelTPU:
         self.discount_curve = discount_curve
         self.covariance = covariance_model
         self.use_numeraire_adjustment = use_numeraire_adjustment
+        # The engine evolves the forwards on the tenor grid itself
+        # (simulation grid == tenor grid), which is exactly the reference
+        # workloads' configuration (ATM test :277-278, benchmark :251-259).
+        # A finer simulation grid would need sub-period numeraire
+        # interpolation — not implemented yet.
 
         n = libor_td.get_number_of_time_steps()
         self.num_libors = n
