@@ -82,14 +82,15 @@ def bachelier_formula(forward: float, strike: float, volatility: float,
 def black_implied_volatility(forward: float, strike: float, maturity: float,
                              value: float, payoff_unit: float = 1.0,
                              tol: float = 1e-12, max_iter: int = 200) -> float:
-    """Invert Black'76 by bisection + Newton polish (robust for calibration
-    error reporting)."""
+    """Invert Black'76 by bisection (robust for calibration error
+    reporting; the differentiable Newton inverter lives in
+    models.lmm.model.black_implied_vol_jnp)."""
     target = value / payoff_unit
     intrinsic = max(forward - strike, 0.0)
     if target <= intrinsic + 1e-16:
         return 0.0
     lo, hi = 1e-8, 5.0
-    for _ in range(200):
+    for _ in range(max_iter):
         mid = 0.5 * (lo + hi)
         v = black_formula(forward, strike, mid, maturity)
         if v < target:
@@ -103,14 +104,14 @@ def black_implied_volatility(forward: float, strike: float, maturity: float,
 
 def bachelier_implied_volatility(forward: float, strike: float, maturity: float,
                                  value: float, payoff_unit: float = 1.0,
-                                 tol: float = 1e-12) -> float:
+                                 tol: float = 1e-12, max_iter: int = 200) -> float:
     """Invert the Bachelier formula by bisection."""
     target = value / payoff_unit
     intrinsic = max(forward - strike, 0.0)
     if target <= intrinsic + 1e-16:
         return 0.0
     lo, hi = 1e-10, 2.0
-    for _ in range(200):
+    for _ in range(max_iter):
         mid = 0.5 * (lo + hi)
         v = bachelier_formula(forward, strike, mid, maturity)
         if v < target:

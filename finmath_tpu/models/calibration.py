@@ -69,6 +69,7 @@ class LevenbergMarquardt:
         lam = self.lambda0
         history = [err]
         converged = False
+        it = 0
 
         for it in range(1, self.max_iterations + 1):
             if err < self.accuracy:

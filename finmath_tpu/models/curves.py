@@ -55,9 +55,6 @@ class DiscountCurve:
         t = np.maximum(np.asarray(time, dtype=np.float64), 1e-10)
         return -np.log(self.get_discount_factor(t)) / t
 
-    def with_factors(self, factors: np.ndarray) -> "DiscountCurve":
-        return DiscountCurve(self.times, factors, self.name)
-
     getDiscountFactor = get_discount_factor
 
     def __repr__(self):
@@ -156,17 +153,6 @@ def par_swap_rate(forward_curve: ForwardCurve, discount_curve: DiscountCurve,
         np.sum(deltas * forward_curve.get_forward(starts) * df_pay)
     )
     return floating / annuity
-
-
-def par_swap_value(discount_curve: DiscountCurve, forward_curve: ForwardCurve,
-                   rate: float, fixed_times: np.ndarray, fixed_deltas: np.ndarray,
-                   float_times: np.ndarray, float_deltas: np.ndarray) -> float:
-    """Value of receiver-fixed swap: fixed leg - float leg."""
-    fixed = float(np.sum(fixed_deltas * discount_curve.get_discount_factor(fixed_times))) * rate
-    df_pay = discount_curve.get_discount_factor(float_times)
-    fwd = forward_curve.get_forward(float_times - float_deltas)
-    floating = float(np.sum(float_deltas * fwd * df_pay))
-    return fixed - floating
 
 
 # ---------------------------------------------------------------------------

@@ -96,18 +96,20 @@ class BermudanSwaptionPricer:
                 else:
                     value_next = value
                     # regression basis: polynomials of the swap value plus
-                    # annuity and terminal bond (state proxies at T_e)
+                    # annuity and terminal bond (state proxies at T_e);
+                    # fitted by the shared least-squares estimator
+                    from ...ops.conditional_expectation import (
+                        regression_fit_predict,
+                    )
+
                     feats = [jnp.ones_like(swap_value), ann, p_end]
                     p = swap_value
                     for _ in range(degree):
                         feats.append(p)
                         p = p * swap_value
-                    X = jnp.stack(feats).astype(ACC_DTYPE)
-                    y = value_next.astype(ACC_DTYPE)
-                    gram = X @ X.T
-                    eye = jnp.eye(gram.shape[0], dtype=ACC_DTYPE)
-                    beta = jnp.linalg.solve(gram + 1e-12 * jnp.trace(gram) * eye, X @ y)
-                    continuation = (beta @ X).astype(FLOAT_DTYPE)
+                    continuation = regression_fit_predict(
+                        jnp.stack(feats), value_next
+                    )
                     value = jnp.where(immediate > continuation, immediate, value_next)
                 exercised = True
             return jnp.mean(value.astype(ACC_DTYPE))

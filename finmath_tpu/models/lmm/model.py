@@ -95,13 +95,20 @@ def black_implied_vol_jnp(value, forward, strike, maturity, annuity,
     VALUE of the out-of-the-money twin (call-put parity: equal time value,
     same vega, far better conditioning) with Newton from the
     Manaster-Koehler seed sigma0 = sqrt(2|ln(F/K)|/T) (globally convergent
-    for Black)."""
+    for Black). The OTM value is computed from erfc tail probabilities —
+    the 0.5*(1+erf) form loses all relative precision in the tails, which
+    stalls Newton for deep-ITM quotes (observed on TPU: 3.4e-3 vol error;
+    erfc reduces it to float roundoff). Quotes at/below intrinsic value
+    return vol 0 like the host-side inverters."""
     sqrt_t = jnp.sqrt(maturity)
     p = value / annuity
     intrinsic = jnp.maximum(forward - strike, 0.0)
-    time_value = jnp.maximum(p - intrinsic, 1e-14)
+    raw_time_value = p - intrinsic
+    time_value = jnp.maximum(raw_time_value, 1e-16)
     # OTM twin: if F >= K invert the put (value = time value), else the call
     is_itm = forward >= strike
+    erfc = jax.scipy.special.erfc
+    inv_sqrt2 = 1.0 / np.sqrt(2.0)
 
     sigma0 = jnp.maximum(
         jnp.sqrt(2.0 * jnp.abs(jnp.log(forward / strike)) / maturity), 1e-2
@@ -111,8 +118,12 @@ def black_implied_vol_jnp(value, forward, strike, maturity, annuity,
         v = jnp.maximum(sigma, 1e-8) * sqrt_t
         d1 = jnp.log(forward / strike) / v + 0.5 * v
         d2 = d1 - v
-        call = forward * _ncdf(d1) - strike * _ncdf(d2)
-        put = call - (forward - strike)
+        # tail-safe: call = F*N(d1) - K*N(d2) with N(d) = erfc(-d/sqrt2)/2,
+        # put  = K*N(-d2) - F*N(-d1) with N(-d) = erfc(d/sqrt2)/2
+        call = 0.5 * (forward * erfc(-d1 * inv_sqrt2)
+                      - strike * erfc(-d2 * inv_sqrt2))
+        put = 0.5 * (strike * erfc(d2 * inv_sqrt2)
+                     - forward * erfc(d1 * inv_sqrt2))
         vega = forward * sqrt_t * _npdf(d1)
         return jnp.where(is_itm, put, call), vega
 
@@ -124,7 +135,9 @@ def black_implied_vol_jnp(value, forward, strike, maturity, annuity,
         return jnp.clip(sigma - step, 1e-8, 10.0), None
 
     sigma, _ = jax.lax.scan(body, sigma0, None, length=num_iter)
-    return sigma
+    # quotes at/below intrinsic (within float roundoff of F - K) carry no
+    # volatility information -> 0, matching the host-side inverters
+    return jnp.where(raw_time_value <= 1e-12 * forward, 0.0, sigma)
 
 
 # ---------------------------------------------------------------------------

@@ -135,8 +135,11 @@ def pow32(x: jax.Array, y) -> jax.Array:
     lg = log32(x).astype(jnp.float64) if jax.config.jax_enable_x64 else log32(x)
     z = (lg * y).astype(_F32)
     r = exp32(z)
-    r = jnp.where(x == 0.0, jnp.where(jnp.asarray(y) > 0, _F32(0.0), jnp.inf), r)
-    return r
+    y_arr = jnp.asarray(y)
+    at_zero = jnp.where(
+        y_arr > 0, _F32(0.0), jnp.where(y_arr == 0, _F32(1.0), jnp.inf)
+    )
+    return jnp.where(x == 0.0, at_zero, r)
 
 
 def expm1_32(x: jax.Array) -> jax.Array:

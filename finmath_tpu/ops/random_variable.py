@@ -92,8 +92,11 @@ class RandomVariableTPU(RandomVariable):
             else:
                 self._values = jnp.asarray(values.astype(np.float32, copy=False))
         elif isinstance(values, jax.Array):
-            if values.ndim == 0:
-                self._values = values.astype(FLOAT_DTYPE)
+            if values.ndim == 0 and not isinstance(values, jax.core.Tracer):
+                # normalize concrete 0-d arrays to the deterministic
+                # (Python float) representation so round-trips through
+                # jit/vmap keep the fast path intact
+                self._values = float(values)
             else:
                 self._values = values.astype(FLOAT_DTYPE)
         else:
@@ -531,7 +534,11 @@ class RandomVariableTPU(RandomVariable):
         if probabilities is not None:
             order = jnp.argsort(self._values)
             p = RandomVariableTPU.from_random_variable(probabilities)
-            cum = jnp.cumsum(p._values[order].astype(ACC_DTYPE))
+            if p.is_deterministic():
+                pv = jnp.full((self.size(),), float(p.values), dtype=ACC_DTYPE)
+            else:
+                pv = p.values[order].astype(ACC_DTYPE)
+            cum = jnp.cumsum(pv)
             idx = jnp.searchsorted(cum, quantile)
             idx = jnp.clip(idx, 0, self.size() - 1)
             return float(self._values[order[idx]])
@@ -641,7 +648,12 @@ def _rv_flatten(rv: RandomVariableTPU):
 
 
 def _rv_unflatten(aux, children):
-    return RandomVariableTPU.of(aux[0], children[0])
+    v = children[0]
+    # a deterministic (float) leaf comes back from jit as a concrete 0-d
+    # array; restore the scalar representation (tracers stay as-is)
+    if isinstance(v, jax.Array) and v.ndim == 0 and not isinstance(v, jax.core.Tracer):
+        v = float(v)
+    return RandomVariableTPU.of(aux[0], v)
 
 
 jax.tree_util.register_pytree_node(RandomVariableTPU, _rv_flatten, _rv_unflatten)

@@ -484,7 +484,11 @@ class RandomVariableFloat(RandomVariable):
         if probabilities is not None:
             order = np.argsort(self._values)
             p = RandomVariableFloat.from_random_variable(probabilities)
-            cum = np.cumsum(p._values[order].astype(np.float64))
+            if p.is_deterministic():
+                pv = np.full(self.size(), float(p.values), dtype=np.float64)
+            else:
+                pv = p.values[order].astype(np.float64)
+            cum = np.cumsum(pv)
             idx = int(np.clip(np.searchsorted(cum, quantile), 0, self.size() - 1))
             return float(self._values[order[idx]])
         sorted_vals = np.sort(self._values)
