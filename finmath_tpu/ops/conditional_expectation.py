@@ -20,19 +20,57 @@ import numpy as np
 from .random_variable import ACC_DTYPE, FLOAT_DTYPE, RandomVariable, RandomVariableTPU
 
 
+def _cholesky_solve_small(gram: jax.Array, rhs: jax.Array) -> jax.Array:
+    """Solve an SPD system of small static size with an unrolled Cholesky.
+
+    TPU's f64 emulation supports elementwise arithmetic but NOT the
+    LuDecomposition op behind jnp.linalg.solve ("Only F32 and C64 types are
+    implemented in LuDecomposition"), so the tiny (basis x basis) solve is
+    spelled out; B <= ~10 keeps the unrolled graph trivial."""
+    B = gram.shape[0]
+    L = [[None] * B for _ in range(B)]
+    for i in range(B):
+        for j in range(i + 1):
+            s = gram[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-300))
+            else:
+                L[i][j] = s / L[j][j]
+    # forward substitution L z = rhs
+    z = [None] * B
+    for i in range(B):
+        s = rhs[i]
+        for k in range(i):
+            s = s - L[i][k] * z[k]
+        z[i] = s / L[i][i]
+    # back substitution L^T beta = z
+    beta = [None] * B
+    for i in reversed(range(B)):
+        s = z[i]
+        for k in range(i + 1, B):
+            s = s - L[k][i] * beta[k]
+        beta[i] = s / L[i][i]
+    return jnp.stack(beta)
+
+
 @jax.jit
 def regression_fit_predict(basis: jax.Array, y: jax.Array) -> jax.Array:
     """basis [B, paths] f32, y [paths] -> fitted E[y | basis] [paths] f32.
 
     Normal equations with Tikhonov jitter in f64 (B is small: a handful of
-    basis functions; paths is large). One matmul pair on the MXU.
+    basis functions; paths is large). One matmul pair on the MXU; the tiny
+    SPD solve is an unrolled Cholesky (TPU-safe for f64).
     """
     X = basis.astype(ACC_DTYPE)                      # [B, P]
     yd = y.astype(ACC_DTYPE)
     gram = X @ X.T                                   # [B, B]
     rhs = X @ yd                                     # [B]
     eye = jnp.eye(gram.shape[0], dtype=ACC_DTYPE)
-    beta = jnp.linalg.solve(gram + 1e-12 * jnp.trace(gram) * eye, rhs)
+    beta = _cholesky_solve_small(
+        gram + 1e-12 * jnp.trace(gram) * eye, rhs
+    )
     return (beta @ X).astype(FLOAT_DTYPE)
 
 
