@@ -55,6 +55,7 @@ _CAMEL_ALIASES = {
     "add_sum_product": "addSumProduct",
     "is_nan": "isNaN",
     "get_operator": "getOperator",
+    "get_realizations_stream": "getRealizationsStream",
 }
 
 

@@ -171,6 +171,14 @@ class RandomVariableTPU(RandomVariable):
     def get_operator(self):  # parity with finmath API surface
         return None
 
+    def get_realizations_stream(self):
+        """Iterator over realizations (finmath's getRealizationsStream —
+        which the reference device class leaves as null,
+        RandomVariableCuda.java:1133-1143)."""
+        if self.is_deterministic():
+            return iter([float(self._values)])
+        return iter(np.asarray(self._values))
+
     def __repr__(self) -> str:
         if self.is_deterministic():
             return f"RandomVariableTPU(time={self._time}, value={self._values})"

@@ -138,6 +138,11 @@ class RandomVariableFloat(RandomVariable):
     def get_operator(self):
         return None
 
+    def get_realizations_stream(self):
+        if self.is_deterministic():
+            return iter([float(self._values)])
+        return iter(self._values)
+
     def __repr__(self) -> str:
         if self.is_deterministic():
             return f"RandomVariableFloat(time={self._time}, value={self._values})"
