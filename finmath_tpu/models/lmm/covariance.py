@@ -328,12 +328,15 @@ class LIBORCovarianceModelStochasticVolatility(_CovarianceWrapper):
 
     def __init__(self, base, nu: float = 0.15, rho: float = 0.20,
                  is_calibrateable: bool = True,
-                 scaling_exponent: float = 0.5):
+                 scaling_exponent: float = 0.5,
+                 martingale_correction: bool = True):
         extra = [nu, rho] if is_calibrateable else []
         super().__init__(base, np.asarray(extra))
         self._fixed = None if is_calibrateable else (float(nu), float(rho))
         #: loadings are scaled by V(t)**scaling_exponent (0.5 = sqrt)
         self.scaling_exponent = float(scaling_exponent)
+        #: if False, V = exp(nu W) without the -nu^2 t/2 drift (E[V] grows)
+        self.martingale_correction = martingale_correction
 
     def stoch_vol_params(self, prep):
         base_prep, extra = prep

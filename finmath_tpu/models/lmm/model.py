@@ -380,12 +380,15 @@ class LMMValuationEngine:
             diffusion = jnp.einsum("nfp,fp->np", lam, dw)
             L_new = jnp.where(alive, L + mu * dts[m] + diffusion, L)
             if stoch_vol is not None:
-                # exact lognormal martingale step for the variance process:
+                # exact lognormal step for the variance process:
                 # dW_V = rho dW_1 + sqrt(1-rho^2) dW_extra
                 dw_v = rho * dw[0] + jnp.sqrt(
                     jnp.maximum(1.0 - rho * rho, 0.0)
                 ) * dw_all[F]
-                V = V * jnp.exp(nu * dw_v - 0.5 * nu * nu * dts[m])
+                if getattr(cov, "martingale_correction", True):
+                    V = V * jnp.exp(nu * dw_v - 0.5 * nu * nu * dts[m])
+                else:
+                    V = V * jnp.exp(nu * dw_v)
             return (L_new, N, V), None
 
         L = L0_b

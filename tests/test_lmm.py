@@ -177,6 +177,15 @@ class TestATMCalibration:
         assert np.sqrt(np.mean(dev**2)) < 5e-4
         assert result.rms_error < 5e-4
 
+    def test_displaced_model_calibrates(self):
+        """The DISPLACED variant (ref. modelType matrix :296-306) must hit
+        the same quality contract."""
+        setup = build_atm_calibration(num_paths=1500, num_factors=1,
+                                      model_type="DISPLACED")
+        result = setup.calibrate(max_iterations=10, accuracy=1e-7)
+        dev = setup.deviations(result.parameters)
+        assert abs(np.mean(dev)) < 2e-4
+
     def test_serialization_determinism(self, small_setup):
         """ref. round-trips the calibrated model and asserts identical
         revaluation to 1e-12 (:440). Our model state is the parameter

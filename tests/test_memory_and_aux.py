@@ -62,6 +62,17 @@ class TestHostRandomGenerators:
         b = HostRandomGenerator(7, "mersenne").normals(1000)
         np.testing.assert_array_equal(a, b)
 
+    def test_java_lcg_bit_exact(self):
+        """The 'java' algorithm reproduces java.util.Random exactly — the
+        RNG behind the reference's BrownianMotionJavaRandom
+        (BrownianMotionJavaRandom.java:132-180). Expected values are
+        java.util.Random(42).nextDouble() outputs."""
+        u = HostRandomGenerator(42, "java").uniforms(3)
+        np.testing.assert_allclose(
+            u, [0.7275636800328681, 0.6832234717598454, 0.30871945533265976],
+            rtol=1e-7,  # f32 storage of the f64 draw
+        )
+
     def test_native_compiles_when_toolchain_present(self):
         # this image ships g++; the native path must actually build
         assert native_available()
