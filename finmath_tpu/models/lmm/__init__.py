@@ -2,18 +2,38 @@ from .covariance import (
     DisplacedLocalVolatilityModel,
     BlendedLocalVolatilityModel,
     LIBORCorrelationModelExponentialDecay,
+    LIBORCovarianceModelExponentialForm5Param,
     LIBORCovarianceModelFromVolatilityAndCorrelation,
+    LIBORCovarianceModelStochasticVolatility,
     LIBORVolatilityModelPiecewiseConstant,
 )
 from .model import LIBORMarketModelTPU, LMMValuationEngine, SwaptionProduct
+from .atm_calibration import ATMCalibrationSetup, build_atm_calibration
+from .benchmark_calibration import (
+    BenchmarkCalibrationSetup,
+    build_benchmark_calibration,
+)
+from .analytic_approximation import LMMAnalyticSwaptionEngine
+from .bermudan import BermudanSwaption, BermudanSwaptionPricer
+from .products import CapFloor
 
 __all__ = [
     "LIBORVolatilityModelPiecewiseConstant",
     "LIBORCorrelationModelExponentialDecay",
+    "LIBORCovarianceModelExponentialForm5Param",
     "LIBORCovarianceModelFromVolatilityAndCorrelation",
+    "LIBORCovarianceModelStochasticVolatility",
     "DisplacedLocalVolatilityModel",
     "BlendedLocalVolatilityModel",
     "LIBORMarketModelTPU",
     "LMMValuationEngine",
     "SwaptionProduct",
+    "ATMCalibrationSetup",
+    "build_atm_calibration",
+    "BenchmarkCalibrationSetup",
+    "build_benchmark_calibration",
+    "LMMAnalyticSwaptionEngine",
+    "BermudanSwaption",
+    "BermudanSwaptionPricer",
+    "CapFloor",
 ]

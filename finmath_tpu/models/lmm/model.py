@@ -216,7 +216,8 @@ class LMMValuationEngine:
     def __init__(self, model: LIBORMarketModelTPU,
                  products: Sequence[SwaptionProduct],
                  num_paths: int, num_factors: int, seed: int = 31415,
-                 mesh=None, path_axis: str = "paths"):
+                 mesh=None, path_axis: str = "paths",
+                 scheme: str = "euler"):
         """``mesh``: optional jax.sharding.Mesh — Monte-Carlo paths are then
         data-parallel over its ``path_axis``: each device folds its own RNG
         key, simulates num_paths/n_devices paths locally, and every
@@ -230,6 +231,9 @@ class LMMValuationEngine:
         self.seed = int(seed)
         self.mesh = mesh
         self.path_axis = path_axis
+        if scheme not in ("euler", "predictor_corrector"):
+            raise ValueError(f"unknown scheme {scheme}")
+        self.scheme = scheme  # finmath EulerSchemeFromProcessModel schemes
         if mesh is not None:
             n_dev = int(np.prod(mesh.devices.shape))
             if self.num_paths % n_dev:
@@ -354,30 +358,46 @@ class LMMValuationEngine:
             rho = stoch_vol[1].astype(FLOAT_DTYPE) if hasattr(stoch_vol[1], "astype") \
                 else jnp.asarray(stoch_vol[1], dtype=FLOAT_DTYPE)
 
-        def step(carry, m):
-            L, N, V = carry
-            alive = (idx >= m + 1)                                    # [n, 1]
-            # numeraire accrues at the just-fixed forward L_m over [T_m, T_{m+1}]
-            N = N * (1.0 + deltas[m] * L[m])
+        def loadings(m, L, V):
+            """Factor loadings lambda [n, F, paths] at step m, state (L, V)."""
             lam_t = vol_table[m][:, None] * cov.local_factor(prep, L, L0_b)
             if stoch_vol is not None:
                 exponent = getattr(cov, "scaling_exponent", 0.5)
                 scale = jnp.sqrt(V) if exponent == 0.5 else V ** exponent
                 lam_t = lam_t * scale[None, :]
-            lam = lam_t[:, None, :] * R[:, :, None]                    # [n, F, paths]
-            lam = jnp.where(alive[:, None, :], lam, 0.0)
-            # spot-measure drift: masked prefix sum over the libor axis
+            lam = lam_t[:, None, :] * R[:, :, None]
+            alive = (idx >= m + 1)
+            return jnp.where(alive[:, None, :], lam, 0.0)
+
+        def drift_of(m, L, lam):
+            """Spot-measure drift: masked prefix sum over the libor axis."""
             c = (deltas[:, None, None] * lam) / (
                 1.0 + (deltas[:, None] * L)[:, None, :]
             )                                                          # [n, F, paths]
             prefix = jnp.cumsum(c, axis=0)
-            mu = jnp.sum(lam * prefix, axis=1)                         # [n, paths]
+            return jnp.sum(lam * prefix, axis=1)                       # [n, paths]
+
+        predictor_corrector = self.scheme == "predictor_corrector"
+
+        def step(carry, m):
+            L, N, V = carry
+            alive = (idx >= m + 1)                                    # [n, 1]
+            # numeraire accrues at the just-fixed forward L_m over [T_m, T_{m+1}]
+            N = N * (1.0 + deltas[m] * L[m])
+            lam = loadings(m, L, V)
+            mu = drift_of(m, L, lam)
             dw_all = jax.random.normal(
                 jax.random.fold_in(base_key, m), (n_rng_factors, paths),
                 dtype=FLOAT_DTYPE,
             ) * sqrt_dts[m]
             dw = dw_all[:F]
             diffusion = jnp.einsum("nfp,fp->np", lam, dw)
+            if predictor_corrector:
+                # finmath's PREDICTOR_CORRECTOR scheme: average the drift at
+                # the current state and at the Euler-predicted state
+                L_pred = jnp.where(alive, L + mu * dts[m] + diffusion, L)
+                mu_pred = drift_of(m, L_pred, loadings(m, L_pred, V))
+                mu = 0.5 * (mu + mu_pred)
             L_new = jnp.where(alive, L + mu * dts[m] + diffusion, L)
             if stoch_vol is not None:
                 # exact lognormal step for the variance process:
