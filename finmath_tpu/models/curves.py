@@ -19,7 +19,6 @@ LMM (ref. :246-248).
 
 from __future__ import annotations
 
-import math
 from typing import Sequence
 
 import numpy as np

@@ -19,7 +19,7 @@ which is why the reference offers it as the fast calibration mode.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ program reusing the LMM engine's segmented simulation.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Sequence
+
 
 import jax
 import jax.numpy as jnp

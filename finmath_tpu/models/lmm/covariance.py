@@ -19,8 +19,6 @@ simulation scan.
 
 from __future__ import annotations
 
-import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

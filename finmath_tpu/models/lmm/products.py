@@ -10,7 +10,6 @@ directly on the valuation engine; floors come from cap/floor parity
 
 from __future__ import annotations
 
-from typing import Sequence
 
 import numpy as np
 

@@ -22,7 +22,6 @@ Components/factors/paths are static; time_index is traced inside the scan.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

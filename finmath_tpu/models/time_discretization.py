@@ -11,7 +11,6 @@ use a configurable decimal tick, default 1e-8).
 from __future__ import annotations
 
 import bisect
-import math
 from typing import Iterable, Sequence
 
 import numpy as np

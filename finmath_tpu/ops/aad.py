@@ -19,7 +19,6 @@ ops, and the reverse sweep dispatches the same fused device arithmetic.
 from __future__ import annotations
 
 import itertools
-import math
 from typing import Callable, Dict, List, Optional, Sequence
 
 from ._api import TYPE_PRIORITY_AAD, install_camel_aliases

@@ -35,7 +35,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .random_variable import ACC_DTYPE, FLOAT_DTYPE
+from .random_variable import ACC_DTYPE
 
 _TILE = (64, 128)
 _TILE_SIZE = _TILE[0] * _TILE[1]
