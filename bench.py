@@ -41,10 +41,10 @@ def bench_lmm_atm_calibration():
 
     t0 = time.perf_counter()
     # residuals at the full 100k paths; the LM Jacobian (which only steers
-    # the step) on a 20k-path subsample — standard inexact-Jacobian LM,
+    # the step) on a 10k-path subsample — standard inexact-Jacobian LM,
     # identical converged quality (mean deviation ~1e-6 either way)
     setup = build_atm_calibration(num_paths=100_000, num_factors=1,
-                                  seed=31415, jacobian_paths=20_000)
+                                  seed=31415, jacobian_paths=10_000)
     build_s = time.perf_counter() - t0
 
     # one-time compilation, untimed (see module docstring for why)
