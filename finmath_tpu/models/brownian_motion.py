@@ -172,12 +172,19 @@ class BrownianMotionHostRandom:
 
     def __init__(self, time_discretization: TimeDiscretization,
                  num_factors: int, num_paths: int, seed: int,
-                 algorithm: str = "mersenne"):
+                 algorithm: str = "mersenne", factory=None):
+        """``factory``: optional RandomVariable factory the increments are
+        wrapped through — the reference's primary GPU configuration is
+        exactly host-Mersenne increments pushed through
+        RandomVariableCudaFactory (BrownianMotionFromMersenneRandomNumbers
+        + factory, ATM test :283); pass RandomVariableTPUFactory for the
+        same host-RNG-to-device bridge here."""
         self._td = time_discretization
         self._num_factors = int(num_factors)
         self._num_paths = int(num_paths)
         self._seed = int(seed)
         self._algorithm = algorithm
+        self._factory = factory
         self._increments: Optional[np.ndarray] = None
 
     def _lazy_init(self) -> np.ndarray:
@@ -199,11 +206,12 @@ class BrownianMotionHostRandom:
     def increments(self) -> np.ndarray:
         return self._lazy_init()
 
-    def get_brownian_increment(self, time_index: int, factor: int = 0) -> RandomVariableFloat:
+    def get_brownian_increment(self, time_index: int, factor: int = 0):
         inc = self._lazy_init()
-        return RandomVariableFloat.of(
-            self._td.get_time(time_index + 1), inc[time_index, factor]
-        )
+        time = self._td.get_time(time_index + 1)
+        if self._factory is not None:
+            return self._factory.create_random_variable(time, inc[time_index, factor])
+        return RandomVariableFloat.of(time, inc[time_index, factor])
 
     def get_time_discretization(self) -> TimeDiscretization:
         return self._td
@@ -217,12 +225,15 @@ class BrownianMotionHostRandom:
     def get_seed(self) -> int:
         return self._seed
 
-    def get_random_variable_for_constant(self, value: float) -> RandomVariableFloat:
+    def get_random_variable_for_constant(self, value: float):
+        if self._factory is not None:
+            return self._factory.create_random_variable(0.0, value)
         return RandomVariableFloat(0.0, value)
 
     def get_clone_with_modified_seed(self, seed: int) -> "BrownianMotionHostRandom":
         return BrownianMotionHostRandom(
-            self._td, self._num_factors, self._num_paths, seed, self._algorithm
+            self._td, self._num_factors, self._num_paths, seed,
+            self._algorithm, self._factory,
         )
 
     getBrownianIncrement = get_brownian_increment
