@@ -86,11 +86,14 @@ class BrownianMotion:
         """Raw [steps, factors, paths] device array for jitted consumers."""
         return self._lazy_init()
 
-    def get_brownian_increment(self, time_index: int, factor: int = 0) -> RandomVariableTPU:
+    def get_brownian_increment(self, time_index: int, factor: int = 0):
         inc = self._lazy_init()
-        return RandomVariableTPU.of(
-            self._td.get_time(time_index + 1), inc[time_index, factor]
-        )
+        time = self._td.get_time(time_index + 1)
+        if self._factory is not None:
+            # route through the injected factory so e.g. the AAD factory
+            # puts increments on the tape (consistent with the host leg)
+            return self._factory.create_random_variable(time, inc[time_index, factor])
+        return RandomVariableTPU.of(time, inc[time_index, factor])
 
     def get_increment(self, time_index: int) -> list:
         return [
@@ -240,6 +243,8 @@ class BrownianMotionHostRandom:
     getTimeDiscretization = get_time_discretization
     getNumberOfFactors = get_number_of_factors
     getNumberOfPaths = get_number_of_paths
+    getRandomVariableForConstant = get_random_variable_for_constant
+    getCloneWithModifiedSeed = get_clone_with_modified_seed
 
 
 class BrownianMotionTPUWithHostRandomVariable:

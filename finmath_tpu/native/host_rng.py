@@ -80,6 +80,14 @@ class HostRandomGenerator:
             self._handle = lib.rng_create(algo_id, ctypes.c_uint64(self.seed))
             self._numpy = None
         else:
+            if algorithm == "java":
+                # the NumPy fallback cannot reproduce java.util.Random's
+                # LCG; refusing beats silently returning a different stream
+                raise RuntimeError(
+                    "algorithm='java' requires the native host RNG "
+                    "(g++ unavailable or build failed); use "
+                    "algorithm='mersenne' or install a C++ toolchain"
+                )
             self._lib = None
             self._handle = None
             self._numpy = np.random.Generator(np.random.MT19937(self.seed))
@@ -98,7 +106,12 @@ class HostRandomGenerator:
                 n, float(stddev),
             )
         else:
-            out[:] = (self._numpy.standard_normal(n) * stddev).astype(np.float32)
+            # match the native path's METHOD (inverse-CDF of uniforms), so
+            # the fallback differs only in generator internals
+            from scipy.special import ndtri
+
+            u = self._numpy.random(n)
+            out[:] = (ndtri(u) * stddev).astype(np.float32)
         return out
 
     def uniforms(self, n: int) -> np.ndarray:

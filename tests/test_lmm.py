@@ -177,6 +177,30 @@ class TestATMCalibration:
         assert np.sqrt(np.mean(dev**2)) < 5e-4
         assert result.rms_error < 5e-4
 
+    def test_predictor_corrector_scheme(self, small_setup):
+        """finmath's PREDICTOR_CORRECTOR variant: near-identical to Euler
+        for the state-independent NORMAL model, measurably different for
+        local-vol (DISPLACED) dynamics."""
+        from finmath_tpu.models.lmm.model import LMMValuationEngine
+
+        p0 = small_setup.covariance.initial_parameters
+        pc = LMMValuationEngine(small_setup.model, small_setup.products,
+                                1500, 1, scheme="predictor_corrector")
+        v_pc = pc.implied_vols(p0)
+        v_eu = small_setup.engine.implied_vols(p0)
+        assert np.max(np.abs(v_pc - v_eu)) < 1e-5  # NORMAL: drift ~state-free
+
+        displaced = build_atm_calibration(num_paths=1500, num_factors=1,
+                                          model_type="DISPLACED")
+        pc_d = LMMValuationEngine(displaced.model, displaced.products,
+                                  1500, 1, scheme="predictor_corrector")
+        d = np.abs(pc_d.implied_vols(p0) - displaced.engine.implied_vols(p0))
+        assert d.max() > 1e-7  # correction active for local vol
+
+        with pytest.raises(ValueError):
+            LMMValuationEngine(small_setup.model, small_setup.products,
+                               1500, 1, scheme="heun")
+
     def test_displaced_model_calibrates(self):
         """The DISPLACED variant (ref. modelType matrix :296-306) must hit
         the same quality contract."""
