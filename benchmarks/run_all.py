@@ -85,7 +85,7 @@ def config_4_calibration():
     from finmath_tpu.models.lmm.atm_calibration import build_atm_calibration
 
     setup = build_atm_calibration(num_paths=100_000, num_factors=1,
-                                  jacobian_paths=20_000)
+                                  jacobian_paths=10_000)
     p0 = setup.covariance.initial_parameters
     setup.engine.residuals(p0)
     setup.jacobian_engine.jacobian(p0)  # compile, untimed
