@@ -103,6 +103,17 @@ class TestAnalyticApproximation:
         # frozen-weight approximation + MC noise: agreement at a few 1e-4
         assert np.max(np.abs(vols_mc - vols_an)) < 1e-3
 
+    def test_displaced_analytic_combination(self):
+        """The fourth cell of the reference's modelType x productType
+        matrix (ATM test :108-118): DISPLACED dynamics calibrated against
+        the analytic approximation (local vol frozen at the initial
+        forwards)."""
+        setup = build_atm_calibration(model_type="DISPLACED",
+                                      calibration_product_type="ANALYTIC")
+        res = setup.calibrate(max_iterations=100, accuracy=1e-9)
+        assert abs(np.mean(setup.deviations(res.parameters))) < 5e-5
+        assert res.rms_error < 2e-4
+
     def test_rejects_lognormal_quotes(self):
         from finmath_tpu.models.lmm.analytic_approximation import (
             LMMAnalyticSwaptionEngine,
