@@ -174,3 +174,43 @@ def mc_european_call_price(seed: int, num_paths: int, num_steps: int,
             jnp.float64(volatility), jnp.float64(maturity), jnp.float64(strike),
         )
     )
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _mc_asian_price_kernel(key, num_paths: int, num_steps: int,
+                           s0, r, sigma, maturity, strike):
+    """Arithmetic-average Asian call (observations at every Euler step),
+    XLA-scan variant; the Pallas on-core version lives in ops.kernels."""
+    dt = maturity / num_steps
+    sqrt_dt = jnp.sqrt(dt).astype(FLOAT_DTYPE)
+    drift = ((r - 0.5 * sigma * sigma) * dt).astype(FLOAT_DTYPE)
+    vol = jnp.asarray(sigma, dtype=FLOAT_DTYPE)
+
+    def step(carry, k):
+        log_s, sum_s = carry
+        dw = jax.random.normal(k, (num_paths,), dtype=FLOAT_DTYPE) * sqrt_dt
+        log_s = log_s + drift + vol * dw
+        return (log_s, sum_s + exp32(log_s)), None
+
+    keys = jax.random.split(key, num_steps)
+    log_s0 = jnp.full((num_paths,), jnp.log(s0), dtype=FLOAT_DTYPE)
+    sum_s0 = jnp.zeros((num_paths,), dtype=FLOAT_DTYPE)
+    (log_st, sum_s), _ = jax.lax.scan(step, (log_s0, sum_s0), keys)
+    avg = sum_s / num_steps
+    payoff = jnp.maximum(avg - strike.astype(FLOAT_DTYPE), 0.0)
+    mean = jnp.sum(payoff.astype(ACC_DTYPE)) / num_paths
+    return mean * jnp.exp(-r * maturity)
+
+
+def mc_asian_call_price(seed: int, num_paths: int, num_steps: int,
+                        initial_value: float, risk_free_rate: float,
+                        volatility: float, maturity: float,
+                        strike: float) -> float:
+    """Arithmetic-average Asian call MC price (XLA scan)."""
+    return float(
+        _mc_asian_price_kernel(
+            jax.random.PRNGKey(seed), int(num_paths), int(num_steps),
+            jnp.float64(initial_value), jnp.float64(risk_free_rate),
+            jnp.float64(volatility), jnp.float64(maturity), jnp.float64(strike),
+        )
+    )

@@ -141,3 +141,92 @@ def mc_european_call_price_pallas(seed: int, num_paths: int, num_steps: int,
             jnp.float64(volatility), jnp.float64(maturity), jnp.float64(strike),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Asian (arithmetic-average) option — the path-dependent variant. Measured
+# on v5e at 1M paths x 100 steps: 47 ms vs 39 ms for the XLA scan
+# (models.black_scholes.mc_asian_call_price, the recommended default): XLA
+# keeps the (log_s, running_sum) carry on-chip here too, and this kernel
+# draws one normal per Box-Muller pair, so the scan wins. Kept as the
+# reference Pallas implementation of a stateful path payoff.
+# ---------------------------------------------------------------------------
+
+def _asian_kernel(seed_ref, params_ref, payoff_ref, *, num_steps: int):
+    """params (SMEM f32 [6]): [log_s0, drift, vol_sqrt_dt, strike, 0, 0].
+    Pays max(avg(S_1..S_n) - K, 0) with the arithmetic average over all
+    time-step observations."""
+    pid = pl.program_id(0).astype(jnp.int32)
+    pltpu.prng_seed(seed_ref[0].astype(jnp.int32)
+                    + pid * jnp.int32(-1640531527))
+    log_s0 = params_ref[0]
+    drift = params_ref[1]
+    vol_sqrt_dt = params_ref[2]
+    strike = params_ref[3]
+
+    def draw_normal(theta_shift):
+        bits1 = pltpu.bitcast(pltpu.prng_random_bits(_TILE), jnp.uint32) >> 8
+        bits2 = pltpu.bitcast(pltpu.prng_random_bits(_TILE), jnp.uint32) >> 8
+        u1 = pltpu.bitcast(bits1, jnp.int32).astype(jnp.float32) \
+            * jnp.float32(2 ** -24) + jnp.float32(2 ** -25)
+        u2 = pltpu.bitcast(bits2, jnp.int32).astype(jnp.float32) \
+            * jnp.float32(2 ** -24)
+        r = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
+        return r * jnp.cos(jnp.float32(_TWO_PI) * u2)
+
+    def step(_, carry):
+        log_s, sum_s = carry
+        log_s = log_s + drift + vol_sqrt_dt * draw_normal(0)
+        return log_s, sum_s + jnp.exp(log_s)
+
+    log_s = jnp.full(_TILE, log_s0, dtype=jnp.float32)
+    sum_s = jnp.zeros(_TILE, dtype=jnp.float32)
+    log_s, sum_s = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(num_steps), step, (log_s, sum_s)
+    )
+    avg = sum_s / jnp.float32(num_steps)
+    payoff_ref[0] = jnp.maximum(avg - strike, 0.0)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def asian_paths_kernel(seed: int, num_paths: int, num_steps: int,
+                       s0, r, sigma, maturity, strike):
+    num_tiles = pl.cdiv(num_paths, _TILE_SIZE)
+    dt = maturity / num_steps
+    params = jnp.asarray(
+        [jnp.log(s0), (r - 0.5 * sigma * sigma) * dt,
+         sigma * jnp.sqrt(dt), strike, 0.0, 0.0],
+        dtype=jnp.float32,
+    )
+    seed_arr = jnp.asarray([seed], dtype=jnp.int32)
+    with jax.enable_x64(False):
+        payoffs = pl.pallas_call(
+            functools.partial(_asian_kernel, num_steps=num_steps),
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1,) + _TILE, lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((num_tiles,) + _TILE, jnp.float32),
+        )(seed_arr, params)
+    flat = payoffs.reshape(-1)[:num_paths]
+    mean = jnp.sum(flat.astype(ACC_DTYPE)) / num_paths
+    return mean * jnp.exp(-r * maturity)
+
+
+def mc_asian_call_price_pallas(seed: int, num_paths: int, num_steps: int,
+                               initial_value: float, risk_free_rate: float,
+                               volatility: float, maturity: float,
+                               strike: float) -> float:
+    """Arithmetic-average Asian call, fully on-core (the observation dates
+    are the Euler time steps)."""
+    return float(
+        asian_paths_kernel(
+            int(seed), int(num_paths), int(num_steps),
+            jnp.float64(initial_value), jnp.float64(risk_free_rate),
+            jnp.float64(volatility), jnp.float64(maturity), jnp.float64(strike),
+        )
+    )

@@ -74,6 +74,15 @@ class TestMonteCarloBlackScholes:
         v2 = mc_european_call_price(7, 50_000, 20, S0, R, SIGMA, T, K)
         assert v1 == v2
 
+    def test_asian_call_below_european(self):
+        """Arithmetic-average Asian call must be cheaper than the European
+        (the average is less volatile than the terminal price)."""
+        from finmath_tpu.models.black_scholes import mc_asian_call_price
+
+        asian = mc_asian_call_price(1, 100_000, 50, S0, R, SIGMA, T, 1.0)
+        euro = mc_european_call_price(1, 100_000, 50, S0, R, SIGMA, T, 1.0)
+        assert 0 < asian < euro
+
     def test_martingale_property(self):
         """E[S_T / N_T] must equal S_0 (discounted asset is a martingale)."""
         td = TimeDiscretization(initial=0.0, num_steps=50, step=T / 50)
