@@ -48,6 +48,23 @@ class TestBSPathsKernelInterpret:
         assert p1 == p2
 
 
+class TestAsianKernelInterpret:
+    def test_kernel_traces_and_runs(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        import finmath_tpu.ops.kernels as K
+
+        K.asian_paths_kernel.clear_cache()
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                price = K.mc_asian_call_price_pallas(
+                    7, 16_384, 4, 1.0, 0.05, 0.30, 1.0, 1.0
+                )
+        finally:
+            K.asian_paths_kernel.clear_cache()
+        assert np.isfinite(price) and price >= 0.0
+
+
 @pytest.mark.skipif(not _on_tpu(), reason="needs real TPU hardware PRNG")
 class TestBSPathsKernelHardware:
     def test_price_close_to_analytic(self):
