@@ -80,13 +80,20 @@ struct JavaLcg {
 
 struct Generator {
     int algorithm;  // 0 = mt19937, 1 = java lcg
-    std::mt19937_64 mt;
+    std::mt19937 mt;  // 32-bit MT19937: std::mt19937(seed) seeds exactly
+                      // like the canonical init_genrand (finmath's
+                      // MersenneTwister is the same reference generator)
     JavaLcg lcg;
-    Generator(int algo, uint64_t seed) : algorithm(algo), mt(seed), lcg(seed) {}
+    Generator(int algo, uint64_t seed)
+        : algorithm(algo), mt(static_cast<uint32_t>(seed)), lcg(seed) {}
     double uniform() {
         if (algorithm == 1) return lcg.next_double();
-        // 53-bit uniform in (0, 1)
-        return ((mt() >> 11) + 0.5) * 0x1.0p-53;
+        // canonical genrand_res53: 53-bit uniform in [0, 1) from two
+        // 32-bit outputs — the double construction finmath's
+        // MersenneTwister.nextDouble() uses
+        const double a = static_cast<double>(mt() >> 5);   // 27 bits
+        const double b = static_cast<double>(mt() >> 6);   // 26 bits
+        return (a * 67108864.0 + b) * (1.0 / 9007199254740992.0);
     }
 };
 

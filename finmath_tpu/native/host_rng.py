@@ -1,9 +1,12 @@
 """ctypes wrapper around the native host RNG (see host_rng.cpp).
 
 Provides MT19937 / java.util.Random-LCG uniforms and inverse-CDF normals
-for the CPU baseline Brownian legs. Falls back to NumPy (PCG uniforms +
-scipy-free AS241 via the native lib being absent -> numpy's own normals)
-when no C++ toolchain is available.
+for the CPU baseline Brownian legs. 'mersenne' is the canonical 32-bit
+MT19937 with genrand_res53 doubles (finmath's MersenneTwister is the same
+reference generator). When no C++ toolchain is available, a vectorized
+NumPy implementation of the SAME generator takes over (bit-identical
+uniform stream; normals then use scipy's ndtri instead of AS241, which
+agree to ~1e-9).
 """
 
 from __future__ import annotations
@@ -26,6 +29,75 @@ _build_failed = False
 
 ALGORITHM_MERSENNE = 0
 ALGORITHM_JAVA_LCG = 1
+
+
+class _MT19937Res53:
+    """Canonical 32-bit MT19937 (init_genrand seeding, genrand_res53
+    doubles) vectorized in NumPy — BIT-IDENTICAL to the native C++
+    'mersenne' generator (std::mt19937 + res53), so the fallback produces
+    the same stream as the native path instead of a different generator
+    under the same name."""
+
+    _N, _M = 624, 397
+    _MATRIX_A = np.uint32(0x9908B0DF)
+    _UPPER = np.uint32(0x80000000)
+    _LOWER = np.uint32(0x7FFFFFFF)
+
+    def __init__(self, seed: int):
+        mt = np.empty(self._N, dtype=np.uint32)
+        mt[0] = seed & 0xFFFFFFFF
+        for i in range(1, self._N):
+            prev = int(mt[i - 1])
+            mt[i] = (1812433253 * (prev ^ (prev >> 30)) + i) & 0xFFFFFFFF
+        self._mt = mt
+        self._buf = np.empty(0, dtype=np.uint32)
+
+    def _twist(self) -> np.ndarray:
+        """One full twist + tempering: 624 fresh 32-bit outputs."""
+        mt, N, M = self._mt, self._N, self._M
+        new = np.empty(N, dtype=np.uint32)
+        # the reference C loop reads updated entries for i >= N-M, so the
+        # vectorization happens in the same three chunks it uses
+        y = (mt[: N - M] & self._UPPER) | (mt[1 : N - M + 1] & self._LOWER)
+        new[: N - M] = mt[M:] ^ (y >> np.uint32(1)) \
+            ^ np.where(y & np.uint32(1), self._MATRIX_A, np.uint32(0))
+        # second chunk reads new[kk - (N-M)] — a sequential dependency at
+        # lag N-M — so it is vectorized in lag-sized sub-chunks whose
+        # sources were fully written by the preceding sub-chunk
+        lag = N - M
+        for lo in range(N - M, N - 1, lag):
+            hi = min(lo + lag, N - 1)
+            y = (mt[lo:hi] & self._UPPER) | (mt[lo + 1 : hi + 1] & self._LOWER)
+            new[lo:hi] = new[lo - lag : hi - lag] ^ (y >> np.uint32(1)) \
+                ^ np.where(y & np.uint32(1), self._MATRIX_A, np.uint32(0))
+        y = (mt[N - 1] & self._UPPER) | (new[0] & self._LOWER)
+        new[N - 1] = new[M - 1] ^ (y >> np.uint32(1)) \
+            ^ (self._MATRIX_A if y & np.uint32(1) else np.uint32(0))
+        self._mt = new
+        out = new.copy()
+        out ^= out >> np.uint32(11)
+        out ^= (out << np.uint32(7)) & np.uint32(0x9D2C5680)
+        out ^= (out << np.uint32(15)) & np.uint32(0xEFC60000)
+        out ^= out >> np.uint32(18)
+        return out
+
+    def _words(self, n: int) -> np.ndarray:
+        chunks = [self._buf]
+        have = len(self._buf)
+        while have < n:
+            w = self._twist()
+            chunks.append(w)
+            have += len(w)
+        all_w = np.concatenate(chunks)
+        self._buf = all_w[n:]
+        return all_w[:n]
+
+    def random(self, n: int) -> np.ndarray:
+        """n genrand_res53 doubles in [0, 1)."""
+        w = self._words(2 * n)
+        a = (w[0::2] >> np.uint32(5)).astype(np.float64)   # 27 bits
+        b = (w[1::2] >> np.uint32(6)).astype(np.float64)   # 26 bits
+        return (a * 67108864.0 + b) * (1.0 / 9007199254740992.0)
 
 
 def _load() -> ctypes.CDLL | None:
@@ -90,7 +162,10 @@ class HostRandomGenerator:
                 )
             self._lib = None
             self._handle = None
-            self._numpy = np.random.Generator(np.random.MT19937(self.seed))
+            # bit-identical to the native 'mersenne' stream (canonical
+            # MT19937 + genrand_res53) — NOT numpy's SeedSequence-seeded
+            # MT19937, whose stream would differ under the same name
+            self._numpy = _MT19937Res53(self.seed)
 
     def __del__(self):
         lib, handle = getattr(self, "_lib", None), getattr(self, "_handle", None)
@@ -106,8 +181,8 @@ class HostRandomGenerator:
                 n, float(stddev),
             )
         else:
-            # match the native path's METHOD (inverse-CDF of uniforms), so
-            # the fallback differs only in generator internals
+            # same uniform stream as the native path (bit-identical
+            # MT19937); only the ICDF differs (ndtri vs AS241, ~1e-9)
             from scipy.special import ndtri
 
             u = self._numpy.random(n)

@@ -77,6 +77,23 @@ class TestHostRandomGenerators:
         # this image ships g++; the native path must actually build
         assert native_available()
 
+    def test_mersenne_is_canonical_mt19937(self):
+        """'mersenne' is the canonical 32-bit MT19937: the C++11 standard
+        pins the 10000th output of a seed-5489 engine to 4123659995, and
+        the NumPy fallback implements the identical generator — its
+        uniform stream is BIT-IDENTICAL to the native one (so a machine
+        without a toolchain gets the same numbers, not a different
+        generator under the same name)."""
+        from finmath_tpu.native.host_rng import _MT19937Res53
+
+        w = _MT19937Res53(5489)._words(10000)
+        assert int(w[9999]) == 4123659995
+
+        if native_available():
+            native = HostRandomGenerator(12345, "mersenne").uniforms(50_000)
+            fallback = _MT19937Res53(12345).random(50_000).astype(np.float32)
+            np.testing.assert_array_equal(native, fallback)
+
     def test_inverse_cdf_accuracy(self):
         from finmath_tpu.native.host_rng import inverse_normal_cdf
 
