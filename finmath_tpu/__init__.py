@@ -25,18 +25,30 @@ We therefore enable JAX x64 support globally and are explicit about float32
 everywhere path data lives.
 """
 
+import os
+
 import jax
 
-# f32 storage / f64 accumulation policy — see module docstring.
-jax.config.update("jax_enable_x64", True)
+# Importing this package configures global JAX process state (deliberately,
+# like the reference's static device init, RandomVariableCuda.java:119-264):
+#   * jax_enable_x64=True — REQUIRED: the f32-storage/f64-accumulation
+#     precision contract needs 64-bit accumulators. This changes dtype
+#     semantics for all JAX code in the host program.
+#   * persistent compilation cache dir + default device selection.
+# Embedding applications that must not have their JAX config touched can
+# set FINMATH_TPU_SKIP_GLOBAL_CONFIG=1 before import and are then
+# responsible for enabling x64 themselves (reductions silently lose the
+# f64 contract otherwise).
+if not os.environ.get("FINMATH_TPU_SKIP_GLOBAL_CONFIG"):
+    jax.config.update("jax_enable_x64", True)
 
-from .utils.config import enable_compilation_cache, select_device
+    from .utils.config import enable_compilation_cache, select_device
 
-# TPU compiles of the calibration programs take minutes cold; the
-# persistent cache makes every later process start hot. Disable with
-# FINMATH_TPU_CACHE_DIR=''.
-enable_compilation_cache()
-select_device()
+    # TPU compiles of the calibration programs take minutes cold; the
+    # persistent cache makes every later process start hot. Disable with
+    # FINMATH_TPU_CACHE_DIR=''.
+    enable_compilation_cache()
+    select_device()
 
 __version__ = "0.1.0"
 

@@ -15,6 +15,8 @@ snake_case API, so that a user of the reference finds the names they know
 
 from __future__ import annotations
 
+import math
+
 # Type priorities drive binary-operator dispatch: if the argument has a
 # higher priority, the operation is delegated to it (with arguments flipped
 # for non-commutative ops). Reference: CPU float = 1
@@ -26,8 +28,13 @@ TYPE_PRIORITY_AAD = 30
 
 
 def quantile_index(size: int, quantile: float) -> int:
-    """finmath's quantile index convention on sorted realizations."""
-    idx = int(round((size + 1) * quantile - 1))
+    """finmath's quantile index convention on sorted realizations.
+
+    Java's Math.round is floor(x + 0.5) (half-up); Python's round() is
+    half-to-even, which differs on exact .5 ties (e.g. size=19, q=0.075:
+    Java gives index 1, banker's rounding gives 0), so the Java form is
+    spelled out."""
+    idx = int(math.floor((size + 1) * quantile - 1 + 0.5))
     return min(max(idx, 0), size - 1)
 
 

@@ -47,18 +47,37 @@ def kahan_sum(values: np.ndarray) -> float:
     return s
 
 
-def _kahan_sum_fast(values: np.ndarray) -> float:
-    """Vectorized pairwise/compensated sum: NumPy's pairwise float64 sum is
-    within 1 ULP of full Kahan for our sizes; used for large arrays where
-    the pure-Python Kahan loop would dominate test runtime."""
-    return float(np.sum(values.astype(np.float64)))
+def _kahan_sum_blocked(values: np.ndarray, lanes: int = 2048) -> float:
+    """Vectorized TRUE Kahan summation: the array is laid out as
+    [rows, lanes]; each lane runs its own compensated accumulator (the
+    scalar Kahan recurrence applied to NumPy vectors, so the Python loop is
+    over rows only), and the per-lane sums are combined — together with
+    their accumulated compensations — by the scalar Kahan loop. This keeps
+    the oracle contract (Kahan everywhere, like
+    RandomVariableFromFloatArray.java:314-334) at every size without the
+    pure-Python per-element loop dominating test runtime."""
+    v = values.astype(np.float64).ravel()
+    rows = -(-v.size // lanes)
+    if rows * lanes != v.size:
+        v = np.concatenate([v, np.zeros(rows * lanes - v.size)])
+    v = v.reshape(rows, lanes)
+    s = np.zeros(lanes)
+    c = np.zeros(lanes)
+    for row in v:
+        y = row - c
+        t = s + y
+        c = (t - s) - y
+        s = t
+    # true per-lane sum ~= s - c; feed both through the scalar Kahan
+    return kahan_sum(np.concatenate([s, -c]))
 
 
 def _accurate_sum(values: np.ndarray) -> float:
-    # Pure Kahan for small arrays (bit-stable), pairwise f64 for large.
+    # Scalar Kahan for small arrays, lane-parallel Kahan for large ones —
+    # compensated summation at every size (the oracle contract).
     if values.size <= 4096:
         return kahan_sum(values)
-    return _kahan_sum_fast(values)
+    return _kahan_sum_blocked(values)
 
 
 class RandomVariableFloat(RandomVariable):
