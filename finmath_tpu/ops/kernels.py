@@ -42,6 +42,24 @@ _TILE_SIZE = _TILE[0] * _TILE[1]
 _TWO_PI = 2.0 * math.pi
 
 
+def _draw_normal_pair(shape=_TILE):
+    """Two standard normals per tile via Box-Muller, BOTH outputs used.
+
+    Two draws of 24-bit uniforms in (0, 1); bitcast to unsigned first
+    (prng_random_bits yields int32 — an arithmetic shift would keep the
+    sign and produce negative "uniforms"); values are < 2^24 so the int32
+    reinterpretation is exact (Mosaic has no uint32->f32 cast)."""
+    bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32) >> 8
+    bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32) >> 8
+    u1 = pltpu.bitcast(bits1, jnp.int32).astype(jnp.float32) \
+        * jnp.float32(2 ** -24) + jnp.float32(2 ** -25)
+    u2 = pltpu.bitcast(bits2, jnp.int32).astype(jnp.float32) \
+        * jnp.float32(2 ** -24)
+    r = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
+    theta = jnp.float32(_TWO_PI) * u2
+    return r * jnp.cos(theta), r * jnp.sin(theta)
+
+
 def _bs_kernel(seed_ref, params_ref, payoff_ref, *, num_steps: int):
     """One tile of paths: full Euler sweep in VMEM.
 
@@ -57,25 +75,8 @@ def _bs_kernel(seed_ref, params_ref, payoff_ref, *, num_steps: int):
     vol_sqrt_dt = params_ref[2]
     strike = params_ref[3]
 
-    def draw_normal_pair():
-        # two draws of 24-bit uniforms in (0, 1); bitcast to unsigned first
-        # (prng_random_bits yields int32 — an arithmetic shift would keep
-        # the sign and produce negative "uniforms")
-        bits1 = pltpu.bitcast(pltpu.prng_random_bits(_TILE), jnp.uint32) >> 8
-        bits2 = pltpu.bitcast(pltpu.prng_random_bits(_TILE), jnp.uint32) >> 8
-        # values are < 2^24, so the int32 reinterpretation is exact
-        # (Mosaic has no uint32->f32 cast)
-        u1 = pltpu.bitcast(bits1, jnp.int32).astype(jnp.float32) \
-            * jnp.float32(2 ** -24) + jnp.float32(2 ** -25)
-        u2 = pltpu.bitcast(bits2, jnp.int32).astype(jnp.float32) \
-            * jnp.float32(2 ** -24)
-        # Box-Muller, using BOTH outputs (halves RNG/log/sqrt per normal)
-        r = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
-        theta = jnp.float32(_TWO_PI) * u2
-        return r * jnp.cos(theta), r * jnp.sin(theta)
-
     def double_step(_, log_s):
-        z1, z2 = draw_normal_pair()
+        z1, z2 = _draw_normal_pair()
         return log_s + (drift + drift) + vol_sqrt_dt * (z1 + z2)
 
     log_s = jnp.full(_TILE, log_s0, dtype=jnp.float32)
@@ -85,7 +86,7 @@ def _bs_kernel(seed_ref, params_ref, payoff_ref, *, num_steps: int):
         jnp.int32(0), jnp.int32(num_steps // 2), double_step, log_s
     )
     if num_steps % 2:
-        z1, _ = draw_normal_pair()
+        z1, _ = _draw_normal_pair()
         log_s = log_s + drift + vol_sqrt_dt * z1
     payoff_ref[0] = jnp.maximum(jnp.exp(log_s) - strike, 0.0)
 
@@ -144,12 +145,10 @@ def mc_european_call_price_pallas(seed: int, num_paths: int, num_steps: int,
 
 
 # ---------------------------------------------------------------------------
-# Asian (arithmetic-average) option — the path-dependent variant. Measured
-# on v5e at 1M paths x 100 steps: 47 ms vs 39 ms for the XLA scan
-# (models.black_scholes.mc_asian_call_price, the recommended default): XLA
-# keeps the (log_s, running_sum) carry on-chip here too, and this kernel
-# draws one normal per Box-Muller pair, so the scan wins. Kept as the
-# reference Pallas implementation of a stateful path payoff.
+# Asian (arithmetic-average) option — the path-dependent variant, fully
+# on-core with both Box-Muller outputs consumed across consecutive steps
+# (the round-1 version discarded the sine output — half the RNG/log/sqrt
+# work per normal; see BENCHMARKS.md for the measured scan-vs-kernel rows).
 # ---------------------------------------------------------------------------
 
 def _asian_kernel(seed_ref, params_ref, payoff_ref, *, num_steps: int):
@@ -164,26 +163,24 @@ def _asian_kernel(seed_ref, params_ref, payoff_ref, *, num_steps: int):
     vol_sqrt_dt = params_ref[2]
     strike = params_ref[3]
 
-    def draw_normal(theta_shift):
-        bits1 = pltpu.bitcast(pltpu.prng_random_bits(_TILE), jnp.uint32) >> 8
-        bits2 = pltpu.bitcast(pltpu.prng_random_bits(_TILE), jnp.uint32) >> 8
-        u1 = pltpu.bitcast(bits1, jnp.int32).astype(jnp.float32) \
-            * jnp.float32(2 ** -24) + jnp.float32(2 ** -25)
-        u2 = pltpu.bitcast(bits2, jnp.int32).astype(jnp.float32) \
-            * jnp.float32(2 ** -24)
-        r = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
-        return r * jnp.cos(jnp.float32(_TWO_PI) * u2)
-
-    def step(_, carry):
+    def double_step(_, carry):
         log_s, sum_s = carry
-        log_s = log_s + drift + vol_sqrt_dt * draw_normal(0)
-        return log_s, sum_s + jnp.exp(log_s)
+        z1, z2 = _draw_normal_pair()
+        log_s = log_s + drift + vol_sqrt_dt * z1
+        sum_s = sum_s + jnp.exp(log_s)
+        log_s = log_s + drift + vol_sqrt_dt * z2
+        sum_s = sum_s + jnp.exp(log_s)
+        return log_s, sum_s
 
     log_s = jnp.full(_TILE, log_s0, dtype=jnp.float32)
     sum_s = jnp.zeros(_TILE, dtype=jnp.float32)
     log_s, sum_s = jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(num_steps), step, (log_s, sum_s)
+        jnp.int32(0), jnp.int32(num_steps // 2), double_step, (log_s, sum_s)
     )
+    if num_steps % 2:
+        z1, _ = _draw_normal_pair()
+        log_s = log_s + drift + vol_sqrt_dt * z1
+        sum_s = sum_s + jnp.exp(log_s)
     avg = sum_s / jnp.float32(num_steps)
     payoff_ref[0] = jnp.maximum(avg - strike, 0.0)
 

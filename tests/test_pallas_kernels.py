@@ -82,3 +82,76 @@ class TestBSPathsKernelHardware:
         p1 = mc_european_call_price_pallas(3, 100_000, 10, 1.0, 0.05, 0.30, 1.0, 1.05)
         p2 = mc_european_call_price_pallas(4, 100_000, 10, 1.0, 0.05, 0.30, 1.0, 1.05)
         assert p1 != p2
+
+
+def _lmm_kernel_args(num_paths):
+    """The ATM headline shape: 20Y x dt=0.5 grid, 1 factor, flat-ish data."""
+    n, dt = 40, 0.5
+    t = np.arange(n) * dt
+    T = np.arange(n) * dt
+    vol_table = np.where(T[None, :] > t[:, None], 0.009, 0.0).astype(np.float32)
+    l0 = np.full(n, 0.025)
+    deltas = np.full(n, dt)
+    return dict(num_paths=num_paths, num_libors=n, exercise=10, periods=10,
+                num_steps=10, vol_table=vol_table, l0=l0, deltas=deltas,
+                dt=dt, strike=0.025)
+
+
+class TestLMMPathKernelInterpret:
+    def test_kernel_traces_and_runs(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from finmath_tpu.ops.lmm_kernel import lmm_swaption_kernel
+
+        a = _lmm_kernel_args(2_048)
+        lmm_swaption_kernel.clear_cache()
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                v = lmm_swaption_kernel(
+                    7, a["num_paths"], a["num_libors"], a["exercise"],
+                    a["periods"], a["num_steps"], a["vol_table"], a["l0"],
+                    a["deltas"], a["dt"], a["strike"])
+        finally:
+            lmm_swaption_kernel.clear_cache()
+        assert np.isfinite(float(v)) and float(v) >= 0.0
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="needs real TPU hardware PRNG")
+class TestLMMPathKernelHardware:
+    def test_matches_scan_engine_price(self):
+        """Kernel price vs the differentiable scan engine on the same
+        model (different RNG streams -> statistical agreement)."""
+        from finmath_tpu.models.curves import (DiscountCurveFromForwardCurve,
+                                               ForwardCurveFromForwards)
+        from finmath_tpu.models.lmm.covariance import (
+            LIBORCorrelationModelExponentialDecay,
+            LIBORCovarianceModelFromVolatilityAndCorrelation,
+            LIBORVolatilityModelPiecewiseConstant,
+        )
+        from finmath_tpu.models.lmm.model import (LIBORMarketModelTPU,
+                                                  LMMValuationEngine,
+                                                  SwaptionProduct)
+        from finmath_tpu.models.time_discretization import TimeDiscretization
+        from finmath_tpu.ops.lmm_kernel import lmm_swaption_kernel
+
+        a = _lmm_kernel_args(400_000)
+        times = np.arange(0.0, a["num_libors"] * a["dt"] + a["dt"], a["dt"])
+        fc = ForwardCurveFromForwards(times, np.full(len(times), 0.025), a["dt"])
+        dc = DiscountCurveFromForwardCurve(fc, horizon=float(times[-1]))
+        td = TimeDiscretization(initial=0.0, num_steps=a["num_libors"], step=a["dt"])
+        vol = LIBORVolatilityModelPiecewiseConstant(
+            td, td, np.asarray([0.0]), np.asarray([0.0]), 0.009)
+        corr = LIBORCorrelationModelExponentialDecay(td, 1, decay=0.0)
+        cov = LIBORCovarianceModelFromVolatilityAndCorrelation(vol, corr)
+        model = LIBORMarketModelTPU(td, fc, dc, cov,
+                                    use_numeraire_adjustment=False)
+        eng = LMMValuationEngine(
+            model, [SwaptionProduct(a["exercise"], a["periods"], a["strike"],
+                                    0.0, value_unit="VALUE")],
+            400_000, 1, 99)
+        v_engine = float(eng.values(np.asarray([0.009]))[0])
+        v_kernel = float(lmm_swaption_kernel(
+            7, a["num_paths"], a["num_libors"], a["exercise"], a["periods"],
+            a["num_steps"], a["vol_table"], a["l0"], a["deltas"], a["dt"],
+            a["strike"]))
+        assert v_kernel == pytest.approx(v_engine, rel=0.02)
