@@ -106,12 +106,166 @@ def bench_mc_black_scholes():
     return out
 
 
+def bench_stochvol_calibration(num_paths):
+    """The reference's published benchmark (LIBORMarketModelCalibrationTest,
+    README.md:240-257): stochastic-vol LMM smile calibration.
+    Reference rows — 81,920 paths: CPU 364.42 s / GPU 49.46 s, RMS 0.198%;
+    163,840 paths: CPU 719.33 s / GPU 51.70 s, RMS 0.480%. The reference
+    divides the RMS by all 19 products although only 15 fit the 20Y grid
+    (its valuation loop swallows the 4 failures but keeps the denominator),
+    so rms19 is the comparable number; rms15 is the honest per-fitted-quote
+    figure."""
+    import numpy as np
+
+    from finmath_tpu.models.lmm.benchmark_calibration import (
+        build_benchmark_calibration,
+    )
+
+    ref = {81_920: (364.42, 49.46, 0.00198),
+           163_840: (719.33, 51.70, 0.00480)}[num_paths]
+
+    setup = build_benchmark_calibration(num_paths=num_paths, seed=314151)
+    # one-time compilation, untimed (same methodology as the headline);
+    # the multistart's reduced-path sweep engine is warmed too
+    p0 = setup.covariance.initial_parameters
+    t0 = time.perf_counter()
+    setup.engine.residuals(p0)
+    setup.engine.jacobian(p0)
+    sweep = setup.sweep_engine()
+    sweep.residuals(p0)
+    sweep.jacobian(p0)
+    compile_s = time.perf_counter() - t0
+
+    # wall = time for OUR full procedure to reach (at least) the reference's
+    # published calibration quality — further starts are skipped once the
+    # reference RMS is matched, like the reference stops at its LM optimum
+    t0 = time.perf_counter()
+    result = setup.calibrate_multistart(target_rms19=ref[2])
+    wall = time.perf_counter() - t0
+    dev = setup.deviations(result.parameters)
+    rms15 = float(np.sqrt(np.mean(dev ** 2)))
+    rms19 = float(np.sqrt(np.sum(dev ** 2) / 19))
+    return {
+        "paths": num_paths,
+        "wall_s": round(wall, 3),
+        "compile_s": round(compile_s, 3),
+        "rms15": round(rms15, 6),
+        "rms19": round(rms19, 6),
+        "mean_deviation": round(float(np.mean(dev)), 6),
+        "reference_cpu_s": ref[0],
+        "reference_gpu_s": ref[1],
+        "reference_rms19": ref[2],
+        "vs_reference_cpu": round(ref[0] / wall, 2),
+        "vs_reference_gpu": round(ref[1] / wall, 2),
+    }
+
+
+def bench_brownian_generation():
+    """Reference BrownianMotionTest (README.md:199-204): 100 repetitions of
+    generating 1M paths x 10 time steps of Brownian increments and checking
+    their moments. Reference: all-GPU 2.325 s, GPU-RNG/host 4.633 s,
+    host MT19937 49.057 s, java LCG 65.558 s. Device leg runs the full 100
+    reps; the host MT19937 leg (native C++ MT + AS241 ICDF) runs 10 reps
+    and reports the honest x10 extrapolation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    n_paths, n_steps, reps = 1_000_000, 10, 100
+    dt = 0.1
+
+    @jax.jit
+    def gen_and_stats(key):
+        z = jax.random.normal(key, (n_steps, n_paths), dtype=jnp.float32)
+        inc = z * np.float32(np.sqrt(dt))
+        mean = jnp.mean(inc.astype(jnp.float64), axis=1)
+        var = jnp.var(inc.astype(jnp.float64), axis=1)
+        return mean, var
+
+    mean, var = gen_and_stats(jax.random.PRNGKey(0))  # compile
+    jax.block_until_ready(mean)
+    t0 = time.perf_counter()
+    for rep in range(reps):
+        mean, var = gen_and_stats(jax.random.PRNGKey(rep))
+    jax.block_until_ready(mean)
+    device_s = time.perf_counter() - t0
+    max_var_err = float(jnp.max(jnp.abs(var - dt)))
+
+    out = {
+        "reps": reps, "paths": n_paths, "steps": n_steps,
+        "device_threefry_s": round(device_s, 3),
+        "device_max_var_err": round(max_var_err, 6),
+        "reference_all_gpu_s": 2.325,
+        "reference_cpu_mersenne_s": 49.057,
+        "vs_reference_gpu": round(2.325 / device_s, 2),
+    }
+    try:
+        from finmath_tpu.native.host_rng import HostRandomGenerator, native_available
+        if native_available():
+            host_reps = 10
+            t0 = time.perf_counter()
+            for rep in range(host_reps):
+                g = HostRandomGenerator(1234 + rep, "mersenne")
+                g.normals(n_paths * n_steps, stddev=float(np.sqrt(dt)))
+            host_s = (time.perf_counter() - t0) * (reps / host_reps)
+            out["host_mersenne_100rep_s"] = round(host_s, 3)
+            out["host_mersenne_measured_reps"] = host_reps
+    except Exception as exc:
+        out["host_mersenne_error"] = str(exc)
+    return out
+
+
+def bench_parity_1e6():
+    """North-star parity on the real device: f32 production prices vs the
+    f64 oracle mode on the identical Brownian stream (1e-6 relative,
+    BASELINE.md; full test coverage in tests/test_price_parity.py)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from finmath_tpu.models.black_scholes import mc_european_call_price
+    from finmath_tpu.models.lmm.atm_calibration import build_atm_calibration
+
+    args = (7, 1_000_000, 100, 1.0, 0.05, 0.30, 1.0, 1.05)
+    p32 = mc_european_call_price(*args)
+    p64 = mc_european_call_price(*args, dtype=jnp.float64)
+    bs_rel = abs(p32 - p64) / abs(p64)
+
+    s32 = build_atm_calibration(num_paths=10_000, num_factors=1, seed=31415)
+    s64 = build_atm_calibration(num_paths=10_000, num_factors=1, seed=31415,
+                                dtype=jnp.float64)
+    p0 = s32.covariance.initial_parameters
+    v32 = np.asarray(s32.engine.values(p0))
+    v64 = np.asarray(s64.engine.values(p0))
+    lmm_rel = float(np.max(np.abs(v32 - v64) / np.abs(v64)))
+    return {
+        "bs_mc_rel_dev": float(bs_rel),
+        "lmm_swaptions_max_rel_dev": lmm_rel,
+        "contract": 1e-6,
+        "pass": bool(bs_rel < 1e-6 and lmm_rel < 1e-6),
+    }
+
+
 def main():
     result = bench_lmm_atm_calibration()
     try:
         result["detail"]["mc_black_scholes_1m_100steps"] = bench_mc_black_scholes()
     except Exception as exc:  # secondary config must not break the headline
         result["detail"]["mc_black_scholes_error"] = str(exc)
+    try:
+        result["detail"]["stochvol_calibration"] = [
+            bench_stochvol_calibration(81_920),
+            bench_stochvol_calibration(163_840),
+        ]
+    except Exception as exc:
+        result["detail"]["stochvol_calibration_error"] = str(exc)
+    try:
+        result["detail"]["brownian_generation_100x_1m_x10"] = bench_brownian_generation()
+    except Exception as exc:
+        result["detail"]["brownian_generation_error"] = str(exc)
+    try:
+        result["detail"]["parity_1e6"] = bench_parity_1e6()
+    except Exception as exc:
+        result["detail"]["parity_1e6_error"] = str(exc)
     print(json.dumps(result))
 
 

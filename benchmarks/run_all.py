@@ -112,7 +112,7 @@ def config_5_greeks():
     def delta_vega(s0, sigma):
         def price(s0_, sigma_):
             return _mc_bs_price_kernel(
-                jax.random.PRNGKey(0), n_paths, n_steps,
+                jax.random.PRNGKey(0), n_paths, n_steps, jnp.dtype(jnp.float32),
                 s0_, jnp.float64(0.05), sigma_, jnp.float64(1.0), jnp.float64(1.05))
         g = jax.grad(price, argnums=(0, 1))(s0, sigma)
         return g

@@ -138,24 +138,31 @@ class EuropeanOption:
 # fused TPU-first pricer
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnums=(1, 2))
-def _mc_bs_price_kernel(key, num_paths: int, num_steps: int,
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _mc_bs_price_kernel(key, num_paths: int, num_steps: int, dtype,
                         s0, r, sigma, maturity, strike):
     """One fused graph: Threefry normals -> Euler scan on log S -> payoff ->
-    f64-accumulated mean. No host round-trips, no per-op launches."""
+    f64-accumulated mean. No host round-trips, no per-op launches.
+
+    ``dtype`` parameterizes the path-storage precision: float32 is the
+    production contract, float64 the parity oracle. Normals are drawn in
+    float32 either way so both precisions consume the identical Brownian
+    stream (isolating arithmetic error — the 1e-6 parity contract)."""
     dt = maturity / num_steps
-    sqrt_dt = jnp.sqrt(dt).astype(FLOAT_DTYPE)
-    drift = ((r - 0.5 * sigma * sigma) * dt).astype(FLOAT_DTYPE)
-    vol = jnp.asarray(sigma, dtype=FLOAT_DTYPE)
+    sqrt_dt = jnp.sqrt(dt).astype(dtype)
+    drift = ((r - 0.5 * sigma * sigma) * dt).astype(dtype)
+    vol = jnp.asarray(sigma, dtype=dtype)
 
     def step(log_s, k):
-        dw = jax.random.normal(k, (num_paths,), dtype=FLOAT_DTYPE) * sqrt_dt
+        dw = jax.random.normal(k, (num_paths,), dtype=jnp.float32).astype(
+            dtype) * sqrt_dt
         return log_s + drift + vol * dw, None
 
     keys = jax.random.split(key, num_steps)
-    log_s0 = jnp.full((num_paths,), jnp.log(s0), dtype=FLOAT_DTYPE)
+    log_s0 = jnp.full((num_paths,), jnp.log(s0), dtype=dtype)
     log_st, _ = jax.lax.scan(step, log_s0, keys)
-    payoff = jnp.maximum(exp32(log_st) - strike.astype(FLOAT_DTYPE), 0.0)
+    st = exp32(log_st) if dtype == jnp.float32 else jnp.exp(log_st)
+    payoff = jnp.maximum(st - strike.astype(dtype), 0.0)
     mean = jnp.sum(payoff.astype(ACC_DTYPE)) / num_paths
     return mean * jnp.exp(-r * maturity)
 
@@ -163,13 +170,15 @@ def _mc_bs_price_kernel(key, num_paths: int, num_steps: int,
 def mc_european_call_price(seed: int, num_paths: int, num_steps: int,
                            initial_value: float, risk_free_rate: float,
                            volatility: float, maturity: float,
-                           strike: float) -> float:
+                           strike: float, dtype=None) -> float:
     """European call MC price; the flagship single-chip workload
     (ref. benchmark row README.md:215 — 1M paths x 100 steps in 0.09 s on a
-    GTX 1080)."""
+    GTX 1080). ``dtype=jnp.float64`` runs the double-precision oracle mode
+    on the identical Brownian stream."""
     return float(
         _mc_bs_price_kernel(
             jax.random.PRNGKey(seed), int(num_paths), int(num_steps),
+            jnp.dtype(dtype if dtype is not None else FLOAT_DTYPE),
             jnp.float64(initial_value), jnp.float64(risk_free_rate),
             jnp.float64(volatility), jnp.float64(maturity), jnp.float64(strike),
         )

@@ -121,7 +121,8 @@ def build_atm_calibration(num_paths: int = 10_000, num_factors: int = 1,
                           discount_curve: Optional[DiscountCurve] = None,
                           calibration_product_type: str = "MONTECARLO",
                           mesh=None,
-                          jacobian_paths: Optional[int] = None
+                          jacobian_paths: Optional[int] = None,
+                          dtype=None,
                           ) -> ATMCalibrationSetup:
     """Assemble the full ATM workload (curves -> surface -> products ->
     model -> engine). ``model_type``: NORMAL | DISPLACED (ref. :296-306);
@@ -177,10 +178,11 @@ def build_atm_calibration(num_paths: int = 10_000, num_factors: int = 1,
         engine = LMMAnalyticSwaptionEngine(model, products)
     elif calibration_product_type == "MONTECARLO":
         engine = LMMValuationEngine(model, products, num_paths, num_factors,
-                                    seed, mesh=mesh)
+                                    seed, mesh=mesh, dtype=dtype)
         if jacobian_paths is not None and jacobian_paths < num_paths:
             jacobian_engine = LMMValuationEngine(
-                model, products, jacobian_paths, num_factors, seed, mesh=mesh
+                model, products, jacobian_paths, num_factors, seed, mesh=mesh,
+                dtype=dtype,
             )
     else:
         raise ValueError(

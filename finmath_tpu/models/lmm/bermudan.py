@@ -77,13 +77,24 @@ class BermudanSwaptionPricer:
                 cp = jnp.cumprod(r, axis=0)
                 m_end = product.maturity_index - 1
                 p_end = cp[m_end]
-                mask = np.zeros((n,), dtype=np.float32)
-                mask[e:product.maturity_index] = deltas_np[e:product.maturity_index]
-                ann = jnp.asarray(mask) @ cp          # [paths]
+                # annuity deltas for periods [e, maturity): e is traced
+                # (the engine's fused scan passes the exercise index as a
+                # scalar), so the mask is built with iota comparisons
+                jj = jnp.arange(n)
+                mask = jnp.where(
+                    (jj >= e) & (jj < product.maturity_index),
+                    delta, jnp.zeros_like(delta),
+                )
+                ann = mask @ cp                       # [paths]
                 swap_value = 1.0 - p_end - K * ann    # payer swap at T_e
                 return swap_value, ann, p_end, N
 
-            collected = self._engine._simulate_segments(params, collect)
+            ys = self._engine._simulate_collect(params, collect)
+            collected = [
+                jax.tree.map(
+                    lambda a, s=self._engine.exercise_step_of(e): a[s], ys)
+                for e in self._engine.exercise_indices
+            ]
 
             # backward induction in numeraire-discounted units
             exercised = None

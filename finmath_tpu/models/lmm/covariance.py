@@ -118,10 +118,17 @@ class LIBORCorrelationModelExponentialDecay:
 
 def factor_reduce(corr: jax.Array, num_factors: int) -> jax.Array:
     """Differentiable factor reduction: top-F eigenpairs of a correlation
-    matrix, rows renormalized to unit norm. Returns [n, F]."""
+    matrix, rows renormalized to unit norm. Returns [n, F].
+
+    Columns are ordered by DESCENDING eigenvalue, like finmath's
+    LinearAlgebra.factorReduction: factor 0 is the dominant (level) factor.
+    The order is load-bearing — LIBORCovarianceModelStochasticVolatility
+    correlates its variance driver with factor 0 of the rate process, so a
+    permuted factor matrix silently rewires the vol-rate correlation to a
+    minor oscillatory factor and destroys the model's smile skew."""
     w, v = jnp.linalg.eigh(corr)                     # ascending
-    w_top = w[-num_factors:]
-    v_top = v[:, -num_factors:]
+    w_top = w[-num_factors:][::-1]
+    v_top = v[:, -num_factors:][:, ::-1]
     F = v_top * jnp.sqrt(jnp.maximum(w_top, 0.0))[None, :]
     norms = jnp.linalg.norm(F, axis=1, keepdims=True)
     return F / jnp.where(norms > 0, norms, 1.0)
@@ -290,8 +297,18 @@ class LIBORCovarianceModelExponentialForm5Param(
 
     def prepare(self, params):
         a, b, c, d, e = params[0], params[1], params[2], params[3], params[4]
+        # sigma_i(t) = (a + b ttm) exp(-c ttm) + d, floored at 0 like
+        # finmath's LIBORVolatilityModelFourParameterExponentialForm
         vol = (a + b * self._ttm) * jnp.exp(-c * self._ttm) + d
+        vol = jnp.maximum(vol, 0.0)
         vol = jnp.where(self._alive, vol, 0.0)
+        # finmath's LIBORCorrelationModelExponentialDecay clamps a negative
+        # decay to 0 (a = max(a, 0)); that clamp has zero gradient for
+        # e < 0, which permanently strands the calibration once a step
+        # wanders negative (observed: correlation collapses to rank-1 and
+        # the ATM term structure can no longer fit). We mirror instead —
+        # identical model for e >= 0 (where the optimum lives), gradient
+        # flows everywhere.
         corr = jnp.exp(-jnp.abs(e) * self._tenor_dist)
         R = factor_reduce(corr, self.num_factors)
         return (vol, R)
@@ -314,13 +331,24 @@ class LIBORCovarianceModelStochasticVolatility(_CovarianceWrapper):
     LIBORCovarianceModelStochasticVolatility(cov, brownianMotionView2,
     nu=0.15, rho=0.20, calibrateable) (benchmark test :275).
 
-    Factor loadings are scaled by sqrt(V(t)) with the lognormal martingale
-    variance process V(t) = exp(nu W_V(t) - nu^2 t / 2), V(0)=1, where
-    dW_V = rho dW_1 + sqrt(1-rho^2) dW_extra: the variance driver is
-    correlated with the first rate factor and otherwise independent (the
-    reference wires this via a BrownianMotionView on factors {0, extra},
-    :267-269). The engine simulates V exactly (lognormal step) alongside
-    the forwards, consuming one additional Brownian factor."""
+    Dynamics: a scalar scaling process V(t) with d V = nu V dW_V, V(0)=1,
+    where dW_V = rho dW_0 + sqrt(1-rho^2) dW_extra — the driver is
+    correlated with the FIRST (dominant/level) rate factor and otherwise
+    independent (the reference wires this via a BrownianMotionView on
+    factors {0, extra}, benchmark test :267-269). V is simulated with the
+    exact lognormal (log-Euler) step V *= exp(nu dW_V - nu^2 dt / 2),
+    consuming one additional Brownian factor; factor loadings at step t are
+    multiplied by V(t)**scaling_exponent.
+
+    On the exponent: with sqrt scaling (0.5) the SQUARED loadings scale by
+    the martingale V, so E[scale^2] = 1 at every horizon; with direct
+    scaling (1.0), E[scale^2] = exp(nu^2 t) grows with simulation time,
+    which fights the steeply decreasing ATM vol term structure of the
+    reference's benchmark quote set. Empirically (benchmarks/
+    stochvol_multistart.py, 81,920 paths): exponent 0.5 calibrates to
+    RMS 0.46% vs 0.98% for exponent 1.0 against the quotes the reference
+    fits at 0.198% (README.md:240-257) — so 0.5 reproduces the reference
+    model family's behavior and is the default."""
 
     has_stoch_vol = True
 
@@ -331,9 +359,9 @@ class LIBORCovarianceModelStochasticVolatility(_CovarianceWrapper):
         extra = [nu, rho] if is_calibrateable else []
         super().__init__(base, np.asarray(extra))
         self._fixed = None if is_calibrateable else (float(nu), float(rho))
-        #: loadings are scaled by V(t)**scaling_exponent (0.5 = sqrt)
+        #: loadings are scaled by lambda(t)**scaling_exponent (1.0 = finmath)
         self.scaling_exponent = float(scaling_exponent)
-        #: if False, V = exp(nu W) without the -nu^2 t/2 drift (E[V] grows)
+        #: if False, lambda = exp(nu W) without the -nu^2 t/2 drift
         self.martingale_correction = martingale_correction
 
     def stoch_vol_params(self, prep):

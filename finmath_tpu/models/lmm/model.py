@@ -4,8 +4,10 @@ differentiable program.
 Rebuild of finmath-lib's ``LIBORMarketModelFromCovarianceModel`` +
 ``EulerSchemeFromProcessModel`` + ``SwaptionSimple`` as driven by the
 reference's calibration tests (/root/reference/.../LIBORMarketModelCalibration
-ATMTest.java:270-466 — spot measure, NORMAL state space, numeraire from the
-rolling spot account, swaptions quoted as implied normal volatilities).
+ATMTest.java:270-466). Supports both finmath measures (SPOT rolling account /
+TERMINAL zero bond), both state spaces (NORMAL / LOGNORMAL log-Euler), a
+simulation grid refining the tenor grid, and float32/float64 path storage
+(the f64 mode is the 1e-6 price-parity oracle).
 
 TPU-first design notes (this is where the architecture deliberately departs
 from the reference; see SURVEY.md §3.5 and §7):
@@ -17,9 +19,12 @@ from the reference; see SURVEY.md §3.5 and §7):
   ALL products from the same path ensemble; the per-exercise annuity sums
   are batched into a single [products x libors] @ [libors x paths] matmul
   that runs on the MXU.
-* The time loop is a ``lax.scan`` per exercise segment (exercise dates are
-  static), so XLA fuses each Euler step's drift/diffusion chain into a few
-  VPU loops over the [libors, paths] block.
+* The time loop is ONE ``lax.scan`` over the whole simulation grid with a
+  ``lax.cond``-gated collector at exercise steps, so XLA fuses each Euler
+  step's drift/diffusion chain into a few VPU loops over the
+  [libors, paths] block and the jaxpr stays small regardless of how many
+  exercise dates the product set has (round 1 unrolled one scan per
+  exercise segment — 11 scan bodies made cold XLA compiles ~3x slower).
 * The whole program — simulate, value, invert to implied vol, residuals —
   is differentiable; ``jax.jacfwd`` gives the calibration Jacobian in one
   batched forward pass instead of finmath's per-parameter finite
@@ -166,7 +171,18 @@ class SwaptionProduct:
 
 class LIBORMarketModelTPU:
     """Static model definition: tenor grid, initial forwards, curves,
-    covariance model, measure/state-space conventions."""
+    covariance model, measure/state-space conventions.
+
+    ``measure``: "spot" (rolling spot account numeraire) or "terminal"
+    (zero bond P(., T_n) numeraire) — finmath
+    LIBORMarketModelFromCovarianceModel.Measure (property "measure").
+    ``state_space``: "normal" (forwards evolved directly; local-vol
+    covariance wrappers give displaced/blended dynamics) or "lognormal"
+    (log-Euler with the standard -0.5 lambda^2 Ito correction) — finmath
+    StateSpace (property "stateSpace", ATM test :311-314).
+    ``simulation_td``: optional simulation grid FINER than the tenor grid
+    (every tenor point must be a simulation point); defaults to the tenor
+    grid itself, the reference workloads' configuration."""
 
     def __init__(self, libor_td: TimeDiscretization,
                  forward_curve: ForwardCurve,
@@ -174,30 +190,37 @@ class LIBORMarketModelTPU:
                  covariance_model,
                  measure: str = "spot",
                  state_space: str = "normal",
-                 use_numeraire_adjustment: bool = True):
-        if measure != "spot":
-            raise NotImplementedError("only the spot measure is implemented")
-        if state_space not in ("normal",):
-            raise NotImplementedError(
-                "state_space='normal' (with local-vol covariance wrappers "
-                "for displaced/blended dynamics) is implemented"
-            )
+                 use_numeraire_adjustment: bool = True,
+                 simulation_td: Optional[TimeDiscretization] = None):
+        if measure not in ("spot", "terminal"):
+            raise ValueError(f"unknown measure {measure!r}")
+        if state_space not in ("normal", "lognormal"):
+            raise ValueError(f"unknown state_space {state_space!r}")
+        self.measure = measure
+        self.state_space = state_space
         self.libor_td = libor_td
+        self.simulation_td = simulation_td if simulation_td is not None else libor_td
         self.forward_curve = forward_curve
         self.discount_curve = discount_curve
         self.covariance = covariance_model
         self.use_numeraire_adjustment = use_numeraire_adjustment
-        # The engine evolves the forwards on the tenor grid itself
-        # (simulation grid == tenor grid), which is exactly the reference
-        # workloads' configuration (ATM test :277-278, benchmark :251-259).
-        # A finer simulation grid would need sub-period numeraire
-        # interpolation — not implemented yet.
 
         n = libor_td.get_number_of_time_steps()
         self.num_libors = n
         self.tenor_times = np.asarray([libor_td.get_time(i) for i in range(n + 1)])
         self.deltas = self.tenor_times[1:] - self.tenor_times[:-1]
         self.initial_forwards = forward_curve.get_forward(self.tenor_times[:-1])
+
+        # simulation grid: must contain every tenor point
+        s = self.simulation_td.get_number_of_time_steps()
+        self.sim_times = np.asarray([self.simulation_td.get_time(i)
+                                     for i in range(s + 1)])
+        for t in self.tenor_times:
+            if t <= self.sim_times[-1] and not np.any(
+                    np.isclose(self.sim_times, t, atol=1e-9)):
+                raise ValueError(
+                    f"tenor point {t} is not on the simulation grid; the "
+                    "simulation grid must refine the tenor grid")
 
     def get_number_of_libors(self) -> int:
         return self.num_libors
@@ -216,7 +239,7 @@ class LMMValuationEngine:
                  products: Sequence[SwaptionProduct],
                  num_paths: int, num_factors: int, seed: int = 31415,
                  mesh=None, path_axis: str = "paths",
-                 scheme: str = "euler"):
+                 scheme: str = "euler", dtype=None):
         """``mesh``: optional jax.sharding.Mesh — Monte-Carlo paths are then
         data-parallel over its ``path_axis``: each device folds its own RNG
         key, simulates num_paths/n_devices paths locally, and every
@@ -230,6 +253,10 @@ class LMMValuationEngine:
         self.seed = int(seed)
         self.mesh = mesh
         self.path_axis = path_axis
+        #: path-axis storage dtype — float32 (framework contract) by
+        #: default; float64 gives the double-precision oracle mode used by
+        #: the 1e-6 price-parity tests (north star, BASELINE.md)
+        self.dtype = jnp.dtype(dtype) if dtype is not None else FLOAT_DTYPE
         if scheme not in ("euler", "predictor_corrector"):
             raise ValueError(f"unknown scheme {scheme}")
         self.scheme = scheme  # finmath EulerSchemeFromProcessModel schemes
@@ -293,6 +320,55 @@ class LMMValuationEngine:
             raise ValueError(f"mixed value units not supported: {units}")
         self.value_unit = units.pop()
 
+        # ---- simulation-grid statics (single fused scan over ALL steps) ----
+        sim = model.sim_times
+        S = len(sim) - 1
+        self.num_steps = S
+        P = len(self.products)
+        # L_i evolves during [sim_s, sim_{s+1}) iff sim_s < T_i
+        self._alive_np = (sim[:S, None] < tenor[None, :n] - 1e-9)   # [S, n]
+        # spot-account accrual: a step STARTING at tenor point T_m accrues
+        # period m at the just-fixed forward L_m (one-hot over libors)
+        acc = np.zeros((S, n), dtype=np.float64)
+        for s_idx in range(S):
+            hit = np.where(np.isclose(tenor[:n], sim[s_idx], atol=1e-9))[0]
+            if hit.size:
+                acc[s_idx, hit[0]] = deltas[hit[0]]
+        self._accrual_np = acc                                       # [S, n]
+        # exercise events: tenor index collected at the sim step that
+        # STARTS at T_e (collect happens before accrual/evolution)
+        collect_at = np.full(S, -1, dtype=np.int64)
+        for e in self.exercise_indices:
+            s_idx = int(np.argmin(np.abs(sim - tenor[e])))
+            if not np.isclose(sim[s_idx], tenor[e], atol=1e-9) or s_idx >= S:
+                raise ValueError(
+                    f"exercise time {tenor[e]} is not a simulation step start")
+            collect_at[s_idx] = e
+        self._collect_at_np = collect_at                             # [S]
+        # per-product gathers
+        self._ex_tenor_idx = np.asarray([p.exercise_index for p in self.products])
+        self._ex_step_idx = np.asarray(
+            [int(np.argmin(np.abs(sim - tenor[p.exercise_index])))
+             for p in self.products])
+        # batched annuity masks: [P, n] of swap-period deltas
+        pay_mask = np.zeros((P, n), dtype=np.float64)
+        ends = np.zeros(P, dtype=np.int64)
+        for k, p in enumerate(self.products):
+            pay_mask[k, p.exercise_index : p.exercise_index + p.num_periods] = \
+                deltas[p.exercise_index : p.exercise_index + p.num_periods]
+            ends[k] = p.exercise_index + p.num_periods - 1
+        self._pay_mask_np = pay_mask
+        self._end_idx_np = ends
+        # terminal-measure numeraire at t=0: P(0, T_n) from the model's own
+        # initial forwards (finmath computes getNumeraire(0) from the MC
+        # model's initial state, i.e. the forward curve)
+        self._p0_terminal = float(np.prod(
+            1.0 / (1.0 + deltas * np.asarray(model.initial_forwards))))
+        # discount factors at the exercise dates (numeraire adjustment)
+        self._df_exercise = np.asarray(
+            [float(dc.get_discount_factor(float(tenor[p.exercise_index])))
+             for p in self.products])
+
         self._residual_fn = jax.jit(self._shard(self._build_residual_fn()))
         self._jac_fn = jax.jit(jax.jacfwd(self._shard(self._build_residual_fn())))
         self._values_fn = jax.jit(self._shard(self._build_values_fn()))
@@ -317,28 +393,45 @@ class LMMValuationEngine:
         return s / self.num_paths
 
     # ------------------------------------------------------------------
-    def _simulate_segments(self, params, collect):
-        """Core scan: evolve (L, N) segment by segment; ``collect(e, L, N)``
-        is called at each exercise time with the current state and returns
-        a pytree to stash. Returns the list of collected pytrees."""
+    def _simulate_collect(self, params, collect):
+        """ONE fused ``lax.scan`` over every simulation step: evolve
+        (L, N, V); at exercise steps a ``lax.cond``-gated ``collect(e, L, N)``
+        (fixed output shape across events) emits a pytree.
+
+        This replaces the round-1 per-exercise-segment unrolling (11 scan
+        bodies in the jaxpr -> 22 s XLA compiles); the jaxpr now contains
+        one scan + one cond regardless of the number of exercise dates.
+        Returns the step-stacked collected pytree (leading axis = simulation
+        step; rows at non-exercise steps are zero) — gather exercise events
+        with ``self._ex_step_idx`` / ``self.exercise_step_of(e)``."""
         model = self.model
         n = model.num_libors
         cov = model.covariance
         paths = self._local_paths
         F = self.num_factors
+        S = self.num_steps
+        dtype = self.dtype
+        spot = model.measure == "spot"
+        lognormal = model.state_space == "lognormal"
 
         prep = cov.prepare(params)
-        vol_table = cov.vol_table(prep).astype(FLOAT_DTYPE)   # [steps, n]
-        R = cov.factor_matrix(prep).astype(FLOAT_DTYPE)       # [n, F]
+        vol_table = cov.vol_table(prep).astype(dtype)         # [S, n]
+        if vol_table.shape[0] != S:
+            raise ValueError(
+                f"covariance vol table has {vol_table.shape[0]} steps, the "
+                f"simulation grid has {S}: build the covariance model on "
+                "the model's simulation time discretization")
+        R = cov.factor_matrix(prep).astype(dtype)             # [n, F]
         stoch_vol = cov.stoch_vol_params(prep) if cov.has_stoch_vol else None
-        deltas = jnp.asarray(model.deltas, dtype=FLOAT_DTYPE)        # [n]
-        dts = jnp.asarray(
-            model.libor_td.get_step_sizes(), dtype=FLOAT_DTYPE
-        )  # simulation grid == tenor grid
+        deltas = jnp.asarray(model.deltas, dtype=dtype)       # [n]
+        sim = model.sim_times
+        dts = jnp.asarray(sim[1:] - sim[:-1], dtype=dtype)    # [S]
         sqrt_dts = jnp.sqrt(dts)
-        L0 = jnp.asarray(model.initial_forwards, dtype=FLOAT_DTYPE)
+        L0 = jnp.asarray(model.initial_forwards, dtype=dtype)
         L0_b = jnp.broadcast_to(L0[:, None], (n, paths))
-        idx = jnp.arange(n)[:, None]                                  # [n, 1]
+        alive_table = jnp.asarray(self._alive_np)             # [S, n] bool
+        accrual_table = jnp.asarray(self._accrual_np, dtype=dtype)  # [S, n]
+        collect_at = jnp.asarray(self._collect_at_np)         # [S] int
 
         base_key = jax.random.PRNGKey(self.seed)
         if self.mesh is not None:
@@ -352,127 +445,196 @@ class LMMValuationEngine:
         # benchmark test :267-269)
         n_rng_factors = F + 1 if stoch_vol is not None else F
         if stoch_vol is not None:
-            nu = stoch_vol[0].astype(FLOAT_DTYPE) if hasattr(stoch_vol[0], "astype") \
-                else jnp.asarray(stoch_vol[0], dtype=FLOAT_DTYPE)
-            rho = stoch_vol[1].astype(FLOAT_DTYPE) if hasattr(stoch_vol[1], "astype") \
-                else jnp.asarray(stoch_vol[1], dtype=FLOAT_DTYPE)
+            nu = stoch_vol[0].astype(dtype) if hasattr(stoch_vol[0], "astype") \
+                else jnp.asarray(stoch_vol[0], dtype=dtype)
+            rho = stoch_vol[1].astype(dtype) if hasattr(stoch_vol[1], "astype") \
+                else jnp.asarray(stoch_vol[1], dtype=dtype)
 
-        def loadings(m, L, V):
-            """Factor loadings lambda [n, F, paths] at step m, state (L, V)."""
-            lam_t = vol_table[m][:, None] * cov.local_factor(prep, L, L0_b)
+        def loadings(s, L, V, alive):
+            """Factor loadings lambda [n, F, paths] at sim step s."""
+            lam_t = vol_table[s][:, None] * cov.local_factor(prep, L, L0_b)
             if stoch_vol is not None:
                 exponent = getattr(cov, "scaling_exponent", 0.5)
-                scale = jnp.sqrt(V) if exponent == 0.5 else V ** exponent
+                if exponent == 1.0:
+                    scale = V          # finmath: lambda(t) multiplies directly
+                elif exponent == 0.5:
+                    scale = jnp.sqrt(V)
+                else:
+                    scale = V ** exponent
                 lam_t = lam_t * scale[None, :]
             lam = lam_t[:, None, :] * R[:, :, None]
-            alive = (idx >= m + 1)
             return jnp.where(alive[:, None, :], lam, 0.0)
 
-        def drift_of(m, L, lam):
-            """Spot-measure drift: masked prefix sum over the libor axis."""
-            c = (deltas[:, None, None] * lam) / (
-                1.0 + (deltas[:, None] * L)[:, None, :]
-            )                                                          # [n, F, paths]
-            prefix = jnp.cumsum(c, axis=0)
-            return jnp.sum(lam * prefix, axis=1)                       # [n, paths]
+        def drift_of(s, L, lam):
+            """Measure drift (finmath LIBORMarketModelFromCovarianceModel.
+            getDrift): spot = prefix sum over alive j <= i; terminal =
+            negative exclusive suffix sum over j > i. LOGNORMAL gets the
+            L_j numerator factor and the -0.5 |lambda_i|^2 Ito term."""
+            mt = deltas[:, None] / (1.0 + deltas[:, None] * L)   # [n, paths]
+            if lognormal:
+                mt = mt * L
+            c = mt[:, None, :] * lam                              # [n, F, paths]
+            if spot:
+                acc = jnp.cumsum(c, axis=0)                       # incl. own
+            else:
+                suffix = jnp.cumsum(c[::-1], axis=0)[::-1]        # incl. own
+                acc = -(suffix - c)                               # excl. own
+            mu = jnp.sum(lam * acc, axis=1)                       # [n, paths]
+            if lognormal:
+                mu = mu - 0.5 * jnp.sum(lam * lam, axis=1)
+            return mu
+
+        def evolve(L, mu, diffusion, dt, alive):
+            if lognormal:
+                return jnp.where(alive, L * jnp.exp(mu * dt + diffusion), L)
+            return jnp.where(alive, L + mu * dt + diffusion, L)
 
         predictor_corrector = self.scheme == "predictor_corrector"
 
-        def step(carry, m):
+        def collect_op(operand):
+            return collect(*operand)
+
+        # static output structure of the collector -> zero branch
+        out_spec = jax.eval_shape(
+            collect_op,
+            (jnp.zeros((), dtype=jnp.int64),
+             jax.ShapeDtypeStruct((n, paths), dtype),
+             jax.ShapeDtypeStruct((paths,), dtype)),
+        )
+        zero_y = jax.tree.map(
+            lambda sd: jnp.zeros(sd.shape, dtype=sd.dtype), out_spec)
+        if self.mesh is not None:
+            # both lax.cond branches must carry the same varying-axes type
+            # under shard_map: the collect branch is device-varying (it
+            # consumes local paths), so the zero branch must be marked too
+            zero_y = jax.tree.map(
+                lambda z: jax.lax.pcast(z, (self.path_axis,), to="varying"),
+                zero_y)
+
+        def step(carry, s):
             L, N, V = carry
-            alive = (idx >= m + 1)                                    # [n, 1]
-            # numeraire accrues at the just-fixed forward L_m over [T_m, T_{m+1}]
-            N = N * (1.0 + deltas[m] * L[m])
-            lam = loadings(m, L, V)
-            mu = drift_of(m, L, lam)
+            alive = alive_table[s][:, None]                       # [n, 1]
+            y = jax.lax.cond(
+                collect_at[s] >= 0,
+                collect_op, lambda _: zero_y, (collect_at[s], L, N),
+            )
+            # spot account accrues when the step starts a tenor period
+            if spot:
+                N = N * (1.0 + accrual_table[s] @ L)
+            lam = loadings(s, L, V, alive)
+            mu = drift_of(s, L, lam)
+            # normals are drawn in float32 REGARDLESS of the engine dtype
+            # and upcast: the float64 oracle mode then consumes the exact
+            # same Brownian stream as the float32 production engine, so an
+            # f32-vs-f64 price comparison isolates arithmetic error from
+            # Monte-Carlo noise (the 1e-6 north-star parity contract)
             dw_all = jax.random.normal(
-                jax.random.fold_in(base_key, m), (n_rng_factors, paths),
-                dtype=FLOAT_DTYPE,
-            ) * sqrt_dts[m]
+                jax.random.fold_in(base_key, s), (n_rng_factors, paths),
+                dtype=jnp.float32,
+            ).astype(dtype) * sqrt_dts[s]
             dw = dw_all[:F]
             diffusion = jnp.einsum("nfp,fp->np", lam, dw)
             if predictor_corrector:
                 # finmath's PREDICTOR_CORRECTOR scheme: average the drift at
                 # the current state and at the Euler-predicted state
-                L_pred = jnp.where(alive, L + mu * dts[m] + diffusion, L)
-                mu_pred = drift_of(m, L_pred, loadings(m, L_pred, V))
+                L_pred = evolve(L, mu, diffusion, dts[s], alive)
+                mu_pred = drift_of(s, L_pred, loadings(s, L_pred, V, alive))
                 mu = 0.5 * (mu + mu_pred)
-            L_new = jnp.where(alive, L + mu * dts[m] + diffusion, L)
+            L_new = evolve(L, mu, diffusion, dts[s], alive)
             if stoch_vol is not None:
-                # exact lognormal step for the variance process:
-                # dW_V = rho dW_1 + sqrt(1-rho^2) dW_extra
+                # exact lognormal step for the scaling process:
+                # dW_V = rho dW_0 + sqrt(1-rho^2) dW_extra
+                # floor inside the sqrt: at |rho| > 1 (optimizer excursions)
+                # sqrt(max(1-rho^2, 0)) has a 0 * inf = NaN gradient that
+                # poisons the whole Jacobian; the tiny floor keeps it exact
+                # for |rho| < 1 to f32 precision and finite everywhere
                 dw_v = rho * dw[0] + jnp.sqrt(
-                    jnp.maximum(1.0 - rho * rho, 0.0)
+                    jnp.maximum(1.0 - rho * rho, 1e-12)
                 ) * dw_all[F]
                 if getattr(cov, "martingale_correction", True):
-                    V = V * jnp.exp(nu * dw_v - 0.5 * nu * nu * dts[m])
+                    V = V * jnp.exp(nu * dw_v - 0.5 * nu * nu * dts[s])
                 else:
                     V = V * jnp.exp(nu * dw_v)
-            return (L_new, N, V), None
+            return (L_new, N, V), y
 
         L = L0_b
-        N = jnp.ones((paths,), dtype=FLOAT_DTYPE)
-        V = jnp.ones((paths,), dtype=FLOAT_DTYPE)
+        N = jnp.ones((paths,), dtype=dtype)
+        V = jnp.ones((paths,), dtype=dtype)
         if self.mesh is not None:
             # initial carries are replicated constants but evolve
             # device-varying inside shard_map; mark them varying
             L = jax.lax.pcast(L, (self.path_axis,), to="varying")
             N = jax.lax.pcast(N, (self.path_axis,), to="varying")
             V = jax.lax.pcast(V, (self.path_axis,), to="varying")
-        collected = []
-        prev = 0
-        for e in self.exercise_indices:
-            if e > prev:
-                (L, N, V), _ = jax.lax.scan(step, (L, N, V), jnp.arange(prev, e))
-                prev = e
-            collected.append(collect(e, L, N))
-        return collected
+        _, ys = jax.lax.scan(step, (L, N, V), jnp.arange(S))
+        return ys
+
+    # ------------------------------------------------------------------
+    def _simulate_and_value(self, params):
+        """Simulate once and value ALL products: the collector computes
+        batched [P, n] @ [n, paths] annuity matmuls on the MXU and emits
+        local f64 path sums; after the scan each product gathers its own
+        exercise event and a single psum (when sharded) finishes the
+        expectations. Returns (values [P], mean_inv_numeraire [P])."""
+        model = self.model
+        n = model.num_libors
+        dtype = self.dtype
+        spot = model.measure == "spot"
+        P = len(self.products)
+        deltas = jnp.asarray(model.deltas, dtype=dtype)
+        pay_mask = jnp.asarray(self._pay_mask_np, dtype=dtype)    # [P, n]
+        end_idx = jnp.asarray(self._end_idx_np)
+        strikes = jnp.asarray(self._strike, dtype=dtype)[:, None]
+        j_iota = jnp.arange(n)[:, None]
+
+        def collect(e, L, N):
+            """Local (unnormalized) f64 path sums of payoff/numeraire and
+            of 1/numeraire for ALL products at exercise index e."""
+            # bond ratios at T_e: cp[j] = P(T_e, T_{j+1})
+            r = jnp.where(j_iota >= e, 1.0 / (1.0 + deltas[:, None] * L), 1.0)
+            cp = jnp.cumprod(r, axis=0)
+            if spot:
+                inv_n = (1.0 / N).astype(ACC_DTYPE)               # [paths]
+            else:
+                inv_n = (1.0 / cp[n - 1]).astype(ACC_DTYPE)       # 1/P(T_e,T_n)
+            ann = pay_mask @ cp                                   # [P, paths]
+            p_end = cp[end_idx]                                   # [P, paths]
+            payoff = jnp.maximum(1.0 - p_end - strikes * ann, 0.0)
+            raw = jnp.sum(payoff.astype(ACC_DTYPE) * inv_n[None, :], axis=-1)
+            return raw, jnp.sum(inv_n)
+
+        raw_steps, inv_steps = self._simulate_collect(params, collect)
+        # gather each product's own exercise event, then reduce once
+        ex_steps = jnp.asarray(self._ex_step_idx)
+        raw = raw_steps[ex_steps, jnp.arange(P)]                  # [P]
+        inv_sum = inv_steps[ex_steps]                             # [P]
+        if self.mesh is not None:
+            raw = jax.lax.psum(raw, self.path_axis)
+            inv_sum = jax.lax.psum(inv_sum, self.path_axis)
+        values = raw / self.num_paths
+        mean_inv = inv_sum / self.num_paths
+        if not spot:
+            values = values * self._p0_terminal
+            mean_inv = mean_inv * self._p0_terminal
+        return values, mean_inv
+
+    def exercise_step_of(self, e: int) -> int:
+        """Simulation step index whose start time is tenor point T_e."""
+        s_idx = int(np.argmin(np.abs(self.model.sim_times
+                                     - self.model.tenor_times[e])))
+        return s_idx
 
     # ------------------------------------------------------------------
     def _build_values_fn(self):
         model = self.model
-        deltas_np = model.deltas
-        dc = model.discount_curve
+        df_ex = jnp.asarray(self._df_exercise)
 
         def values(params):
-            def collect(e, L, N):
-                prods = self._by_exercise[e]
-                n = model.num_libors
-                delta = jnp.asarray(deltas_np, dtype=FLOAT_DTYPE)
-                # bond ratios at T_e: P(T_e, T_{j+1})/P(T_e, T_j)
-                j = jnp.arange(n)[:, None]
-                r = jnp.where(j >= e, 1.0 / (1.0 + delta[:, None] * L), 1.0)
-                cp = jnp.cumprod(r, axis=0)            # cp[j] = P(T_e, T_{j+1})
-                inv_n = (1.0 / N).astype(ACC_DTYPE)
-                mean_inv_n = self._pmean(inv_n)
-                # batched annuities: [P_e, n] @ [n, paths] on the MXU
-                mask = np.zeros((len(prods), n), dtype=np.float32)
-                ends = []
-                for k, p in enumerate(prods):
-                    mask[k, p.exercise_index : p.exercise_index + p.num_periods] = \
-                        deltas_np[p.exercise_index : p.exercise_index + p.num_periods]
-                    ends.append(p.exercise_index + p.num_periods - 1)
-                ann = jnp.asarray(mask) @ cp           # [P_e, paths]
-                p_end = cp[jnp.asarray(ends)]          # [P_e, paths]
-                strikes = jnp.asarray([p.strike for p in prods],
-                                      dtype=FLOAT_DTYPE)[:, None]
-                payoff = jnp.maximum(1.0 - p_end - strikes * ann, 0.0)
-                disc_payoff = payoff.astype(ACC_DTYPE) * inv_n[None, :]
-                raw = self._pmean(disc_payoff)         # E[payoff / N]
-                return raw, mean_inv_n
-
-            collected = self._simulate_segments(params, collect)
-
-            vals = []
-            for (raw, mean_inv_n), e in zip(collected, self.exercise_indices):
-                t_e = float(model.tenor_times[e])
-                df = float(dc.get_discount_factor(t_e))
-                if model.use_numeraire_adjustment:
-                    adj = df / mean_inv_n
-                else:
-                    adj = 1.0
-                vals.append(raw * adj)
-            return jnp.concatenate(vals)
+            raw, mean_inv = self._simulate_and_value(params)
+            if model.use_numeraire_adjustment:
+                # deterministic numeraire control: E[N(0)/N(T_e)] -> df(T_e)
+                return raw * (df_ex / mean_inv)
+            return raw
 
         return values
 
@@ -508,8 +670,22 @@ class LMMValuationEngine:
         return np.asarray(self._values_fn(jnp.asarray(params, dtype=jnp.float64)))
 
     def implied_vols(self, params) -> np.ndarray:
-        r = self.residuals(params)
-        return r / np.asarray(self._weight) + np.asarray(self._target)
+        """Model quotes in the product value unit, computed directly from
+        the Monte-Carlo values (NOT by un-scaling the weighted residuals:
+        a product legitimately de-weighted with weight=0 would turn that
+        into 0/0)."""
+        v = jnp.asarray(self.values(params))
+        fwd0 = jnp.asarray(self._fwd0)
+        ann0 = jnp.asarray(self._ann0)
+        strike = jnp.asarray(self._strike)
+        texp = jnp.asarray(self._texp)
+        if self.value_unit == "VOLATILITYNORMAL":
+            q = bachelier_implied_vol_jnp(v, fwd0, strike, texp, ann0)
+        elif self.value_unit == "VOLATILITYLOGNORMAL":
+            q = black_implied_vol_jnp(v, fwd0, strike, texp, ann0)
+        else:
+            q = v
+        return np.asarray(q)
 
     def residuals(self, params) -> np.ndarray:
         return np.asarray(self._residual_fn(jnp.asarray(params, dtype=jnp.float64)))

@@ -116,7 +116,7 @@ class TestGreeks:
 
         def price(sigma):
             return _mc_bs_price_kernel(
-                jax.random.PRNGKey(0), 200_000, 20,
+                jax.random.PRNGKey(0), 200_000, 20, jnp.dtype(jnp.float32),
                 jnp.float64(S0), jnp.float64(R), sigma,
                 jnp.float64(T), jnp.float64(K),
             )

@@ -55,10 +55,10 @@ class TestBenchmarkModel:
     def test_initial_vols_in_market_ballpark(self, bench_setup):
         p0 = bench_setup.covariance.initial_parameters
         vols = bench_setup.engine.implied_vols(p0)
-        # lognormal vols of the initial parametrization: near-ATM quotes
-        # should come out in the 15%-45% range
-        atm_like = [v for v, p in zip(vols, bench_setup.engine.products)
-                    if abs(p.strike - p.target * 0) >= 0]  # all
+        # lognormal vols of the initial parametrization should come out in
+        # the market's ballpark, and every quote must invert to a finite vol
+        assert np.all(np.isfinite(vols))
+        assert np.all((vols > 0.05) & (vols < 1.0))
         assert np.median(vols) == pytest.approx(0.27, abs=0.08)
 
     def test_stochastic_vol_changes_smile(self, bench_setup):
