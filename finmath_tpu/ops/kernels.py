@@ -16,11 +16,15 @@ time steps in registers/VMEM — hardware PRNG bits -> Box-Muller normals
 (both outputs used) -> Euler update — writing only the final per-tile
 payoffs. HBM traffic drops from O(steps * paths) to O(paths).
 
-Measured (v5 lite, 1M paths x 100 steps): 31 ms vs 38 ms for the XLA scan
-version — both are bound by normal-generation throughput (~3.3e9
-normals/s), so the win is moderate here; the kernel's structural advantage
-(state never leaves VMEM) grows with per-path state size, e.g. multi-asset
-or path-dependent products.
+Measured (v5 lite, 1M paths x 100 steps, round 2, same-process
+comparisons): BS 29.6 ms kernel vs 30.7 ms scan; Asian 30.0 ms vs 34.0 ms
+(the round-1 Asian kernel LOST 47-vs-39 by discarding half of each
+Box-Muller pair — fixed); both are near the normal-generation throughput
+bound, so the wins are moderate. The structural advantage (state never
+leaves VMEM) grows with per-path state size — the LMM path kernel
+(ops/lmm_kernel.py), whose state is the whole forward curve, runs 2.5x
+faster than the scan engine (33.3 ms vs 83.8 ms at 409,600 paths x 10
+steps x 40 libors).
 """
 
 from __future__ import annotations
@@ -35,6 +39,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .precise_math import log32
 from .random_variable import ACC_DTYPE
 
 _TILE = (64, 128)
@@ -55,7 +60,11 @@ def _draw_normal_pair(shape=_TILE):
         * jnp.float32(2 ** -24) + jnp.float32(2 ** -25)
     u2 = pltpu.bitcast(bits2, jnp.int32).astype(jnp.float32) \
         * jnp.float32(2 ** -24)
-    r = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
+    # the TPU-native log is only ~3.7e-4 accurate, which measurably biases
+    # the normals' variance (observed ~0.2% high on LMM swaption prices);
+    # the ~1-ULP fdlibm log32 removes it (bit-twiddling lowers fine in
+    # Mosaic)
+    r = jnp.sqrt(jnp.float32(-2.0) * log32(u1))
     theta = jnp.float32(_TWO_PI) * u2
     return r * jnp.cos(theta), r * jnp.sin(theta)
 

@@ -5,9 +5,18 @@ VERDICT round-1 item 6: the place VMEM residency pays is the LMM — its
 per-path state is the whole forward curve ([n_libors, paths] plus the spot
 account), so the XLA scan engine (models/lmm/model.py) writes an
 O(n_libors * paths) carry to HBM on every time step. This kernel keeps a
-[n_libors, 8, 128] tile of state in VMEM for ALL steps: hardware PRNG ->
-Box-Muller -> drift prefix sum -> Euler update, emitting only the
+[n_libors, 128] tile of state in VMEM/registers for ALL steps: hardware
+PRNG -> Box-Muller -> drift prefix sum -> Euler update, emitting only the
 discounted swaption payoffs.
+
+Layout notes (Mosaic): the libor axis lives on SUBLANES and the path axis
+on LANES, so per-libor scalars broadcast as [n, 1] sublane vectors and
+per-path scalars as [1, 128] lane vectors — no relayouts. The time loop is
+fully unrolled in Python (num_steps is static), which makes every row
+index static (Mosaic has no dynamic_slice/cumsum lowerings) and lets one
+(8, 128) Box-Muller pair feed 16 consecutive steps with zero wasted
+normals. Prefix sums/products run as Hillis-Steele doubling along the
+sublane axis.
 
 Scope (the ATM headline configuration, LIBORMarketModelCalibrationATMTest):
 spot measure, NORMAL state space, ONE factor (the test's numberOfFactors=1,
@@ -35,18 +44,28 @@ from jax.experimental.pallas import tpu as pltpu
 from .kernels import _draw_normal_pair
 from .random_variable import ACC_DTYPE
 
-_PTILE = (8, 128)                 # paths per program
-_PTILE_SIZE = _PTILE[0] * _PTILE[1]
+_LANES = 128                      # paths per program
+_DRAW = (8, _LANES)               # one PRNG draw feeds 16 steps
 
 
-def _lmm_kernel(seed_ref, scal_ref, vol_ref, l0_ref, delta_ref, out_ref, *,
+def _prefix_scan(x, n, op, identity):
+    """Hillis-Steele inclusive scan along the sublane (libor) axis."""
+    shift = 1
+    while shift < n:
+        pad = jnp.full_like(x[:shift], identity)
+        x = op(x, jnp.concatenate([pad, x[:-shift]], axis=0))
+        shift *= 2
+    return x
+
+
+def _lmm_kernel(seed_ref, scal_ref, volT_ref, l0_ref, delta_ref, out_ref, *,
                 num_steps: int, num_libors: int, exercise: int, periods: int):
-    """One tile of paths, all Euler steps in VMEM.
+    """One [num_libors, 128] tile of paths, all Euler steps unrolled.
 
     seed (SMEM i32 [1]); scal (SMEM f32 [4]): [dt, sqrt_dt, strike, 0];
-    vol (VMEM f32 [num_steps, num_libors]): sigma_i(t_s) * R_i (1 factor);
-    l0 (VMEM f32 [num_libors, 1, 1]); delta (VMEM f32 [num_libors, 1, 1]).
-    out (VMEM f32 tile): discounted payoff max(1 - P_end - K*ann, 0)/N.
+    volT (VMEM f32 [num_libors, num_steps]): sigma_i(t_s) * R_i, TRANSPOSED
+    so a time step is a [n, 1] sublane column; l0/delta (VMEM f32 [n, 1]).
+    out (VMEM f32 [1, 128]): discounted payoff max(1-P_end-K*ann, 0)/N.
     """
     pid = pl.program_id(0).astype(jnp.int32)
     pltpu.prng_seed(seed_ref[0].astype(jnp.int32)
@@ -55,50 +74,42 @@ def _lmm_kernel(seed_ref, scal_ref, vol_ref, l0_ref, delta_ref, out_ref, *,
     sqrt_dt = scal_ref[1]
     strike = scal_ref[2]
 
-    delta = delta_ref[...]                                   # [n, 1, 1]
-    libor_idx = jax.lax.broadcasted_iota(jnp.int32, (num_libors, 1, 1), 0)
+    delta = delta_ref[...]                                   # [n, 1]
+    n = num_libors
+    one = jnp.float32(1.0)
 
-    L0 = l0_ref[...] * jnp.ones((num_libors,) + _PTILE, dtype=jnp.float32)
-    N0 = jnp.ones(_PTILE, dtype=jnp.float32)
+    L = l0_ref[...] * jnp.ones((n, _LANES), dtype=jnp.float32)
+    N = jnp.ones((1, _LANES), dtype=jnp.float32)
 
-    def euler_step(s, carry, z):
-        L, N = carry
-        alive = (libor_idx >= s + 1).astype(jnp.float32)     # [n, 1, 1]
+    z_rows = []                                              # 16 per draw
+    for s in range(num_steps):
+        if not z_rows:
+            z1, z2 = _draw_normal_pair(_DRAW)
+            z_rows = [z1[i:i + 1] for i in range(8)] \
+                + [z2[i:i + 1] for i in range(8)]
+        z = z_rows.pop(0)                                    # [1, 128]
         # spot account accrues period s at its (frozen) fixing L_s
-        N = N * (jnp.float32(1.0) + dt * jax.lax.dynamic_index_in_dim(
-            L, s, axis=0, keepdims=False))
-        lam = vol_ref[s][:, None, None] * alive              # [n, 1, 1] * bc
-        # spot-measure drift: prefix sum over libors of delta*lam/(1+delta*L)
-        c = (delta * lam) / (jnp.float32(1.0) + delta * L)   # [n, 8, 128]
-        prefix = jnp.cumsum(c, axis=0)
-        mu = lam * prefix
-        L = L + alive * (mu * dt + lam * (sqrt_dt * z)[None])
-        return L, N
+        N = N * (one + dt * L[s:s + 1])
+        lam = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) >= s + 1,
+            volT_ref[:, s:s + 1], jnp.float32(0.0))          # [n, 1]
+        # spot-measure drift: prefix sum of delta*lam/(1+delta*L)
+        c = (delta * lam) / (one + delta * L)                # [n, 128]
+        prefix = _prefix_scan(c, n, jnp.add, 0.0)
+        L = L + lam * (prefix * dt + sqrt_dt * z)
 
-    def double_step(i, carry):
-        z1, z2 = _draw_normal_pair(_PTILE)
-        s = i * 2
-        carry = euler_step(s, carry, z1)
-        carry = euler_step(s + 1, carry, z2)
-        return carry
-
-    L, N = jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(num_steps // 2), double_step, (L0, N0)
-    )
-    if num_steps % 2:
-        z1, _ = _draw_normal_pair(_PTILE)
-        L, N = euler_step(jnp.int32(num_steps - 1), (L, N), z1)
-
-    # collect at T_exercise: bond cumprod over the swap periods
-    in_swap = jnp.logical_and(libor_idx >= exercise,
-                              libor_idx < exercise + periods)
-    r = jnp.where(in_swap, jnp.float32(1.0) / (jnp.float32(1.0) + delta * L),
-                  jnp.float32(1.0))
-    cp = jnp.cumprod(r, axis=0)                              # [n, 8, 128]
-    ann = jnp.sum(jnp.where(in_swap, cp * delta, jnp.float32(0.0)), axis=0)
-    p_end = cp[num_libors - 1]                               # all later r == 1
-    payoff = jnp.maximum(jnp.float32(1.0) - p_end - strike * ann, 0.0)
-    out_ref[0] = payoff / N
+    # collect at T_exercise: bond prefix-product over the swap periods
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    in_swap = jnp.logical_and(idx >= exercise, idx < exercise + periods)
+    r = jnp.where(in_swap, one / (one + delta * L), one)
+    cp = _prefix_scan(r, n, jnp.multiply, 1.0)               # [n, 128]
+    ann = jnp.sum(jnp.where(in_swap, cp * delta, jnp.float32(0.0)),
+                  axis=0, keepdims=True)                     # [1, 128]
+    p_end = cp[exercise + periods - 1:exercise + periods]    # [1, 128]
+    payoff = jnp.maximum(one - p_end - strike * ann, 0.0)
+    # minimum VMEM block is (8, 128): broadcast the [1, 128] result and let
+    # the host read row 0 of each tile
+    out_ref[0] = jnp.broadcast_to(payoff / N, (8, _LANES))
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5),
@@ -111,10 +122,11 @@ def lmm_swaption_kernel(seed: int, num_paths: int, num_libors: int,
     NORMAL one-factor LMM, path state fully VMEM-resident. ``num_steps``
     should be the exercise step index (simulating past it is wasted work).
     """
-    num_tiles = pl.cdiv(num_paths, _PTILE_SIZE)
-    vol = jnp.asarray(vol_table, dtype=jnp.float32)[:num_steps]
-    l0 = jnp.asarray(initial_forwards, dtype=jnp.float32)[:, None, None]
-    dl = jnp.asarray(deltas, dtype=jnp.float32)[:, None, None]
+    num_tiles = pl.cdiv(num_paths, _LANES)
+    # [n, S]: one time step = one sublane column (no in-kernel transposes)
+    volT = jnp.asarray(vol_table, dtype=jnp.float32)[:num_steps].T
+    l0 = jnp.asarray(initial_forwards, dtype=jnp.float32)[:, None]
+    dl = jnp.asarray(deltas, dtype=jnp.float32)[:, None]
     scal = jnp.stack([jnp.asarray(dt), jnp.sqrt(jnp.asarray(dt)),
                       jnp.asarray(strike), jnp.asarray(0.0)]).astype(jnp.float32)
     seed_arr = jnp.asarray([seed], dtype=jnp.int32)
@@ -133,11 +145,12 @@ def lmm_swaption_kernel(seed: int, num_paths: int, num_libors: int,
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (1,) + _PTILE, lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, 8, _LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
-            out_shape=jax.ShapeDtypeStruct((num_tiles,) + _PTILE, jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((num_tiles, 8, _LANES),
+                                           jnp.float32),
             interpret=interpret,
-        )(seed_arr, scal, vol, l0, dl)
+        )(seed_arr, scal, volT, l0, dl)
 
-    flat = payoffs.reshape(-1)[:num_paths]
+    flat = payoffs[:, 0, :].reshape(-1)[:num_paths]
     return jnp.sum(flat.astype(ACC_DTYPE)) / num_paths
