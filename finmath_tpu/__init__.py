@@ -41,6 +41,11 @@ import jax
 # f64 contract otherwise).
 if not os.environ.get("FINMATH_TPU_SKIP_GLOBAL_CONFIG"):
     jax.config.update("jax_enable_x64", True)
+    # the MXU analog of the reference's `nvcc -fmad false`: TPU f32
+    # matmuls default to reduced-precision bf16 passes (~1e-4 relative),
+    # which breaks the 1e-6 f32<->f64 price-parity contract through the
+    # annuity matmuls and diffusion einsums; "highest" keeps them f32-exact
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     from .utils.config import enable_compilation_cache, select_device
 

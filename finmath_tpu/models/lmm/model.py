@@ -294,10 +294,6 @@ class LMMValuationEngine:
         fc = model.forward_curve
 
         self.exercise_indices = sorted({p.exercise_index for p in self.products})
-        self._by_exercise = {
-            e: [p for p in self.products if p.exercise_index == e]
-            for e in self.exercise_indices
-        }
 
         # per product static curve data: annuity at t=0, forward par rate
         self._ann0, self._fwd0, self._strike, self._target, self._weight, \
@@ -384,13 +380,6 @@ class LMMValuationEngine:
         return jax.shard_map(
             fn, mesh=self.mesh, in_specs=P(), out_specs=P()
         )
-
-    def _pmean(self, x: jax.Array) -> jax.Array:
-        """Mean over the (possibly device-sharded) path axis, f64 accumulate."""
-        s = jnp.sum(x.astype(ACC_DTYPE), axis=-1)
-        if self.mesh is not None:
-            s = jax.lax.psum(s, self.path_axis)
-        return s / self.num_paths
 
     # ------------------------------------------------------------------
     def _simulate_collect(self, params, collect):
@@ -533,7 +522,12 @@ class LMMValuationEngine:
                 dtype=jnp.float32,
             ).astype(dtype) * sqrt_dts[s]
             dw = dw_all[:F]
-            diffusion = jnp.einsum("nfp,fp->np", lam, dw)
+            # explicit HIGHEST precision: TPU f32 contractions otherwise
+            # run as reduced-precision bf16 passes (~1e-4 relative), which
+            # breaks the 1e-6 parity contract (set here as well as via the
+            # global default so embedders who skip global config keep it)
+            diffusion = jnp.einsum("nfp,fp->np", lam, dw,
+                                   precision=jax.lax.Precision.HIGHEST)
             if predictor_corrector:
                 # finmath's PREDICTOR_CORRECTOR scheme: average the drift at
                 # the current state and at the Euler-predicted state
@@ -597,7 +591,8 @@ class LMMValuationEngine:
                 inv_n = (1.0 / N).astype(ACC_DTYPE)               # [paths]
             else:
                 inv_n = (1.0 / cp[n - 1]).astype(ACC_DTYPE)       # 1/P(T_e,T_n)
-            ann = pay_mask @ cp                                   # [P, paths]
+            ann = jnp.matmul(pay_mask, cp,
+                             precision=jax.lax.Precision.HIGHEST)  # [P, paths]
             p_end = cp[end_idx]                                   # [P, paths]
             payoff = jnp.maximum(1.0 - p_end - strikes * ann, 0.0)
             raw = jnp.sum(payoff.astype(ACC_DTYPE) * inv_n[None, :], axis=-1)

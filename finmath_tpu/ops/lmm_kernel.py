@@ -59,17 +59,25 @@ def _prefix_scan(x, n, op, identity):
 
 
 def _lmm_kernel(seed_ref, scal_ref, volT_ref, l0_ref, delta_ref, out_ref, *,
-                num_steps: int, num_libors: int, exercise: int, periods: int):
+                num_steps: int, num_libors: int, exercise: int, periods: int,
+                normals_ref=None):
     """One [num_libors, 128] tile of paths, all Euler steps unrolled.
 
     seed (SMEM i32 [1]); scal (SMEM f32 [4]): [dt, sqrt_dt, strike, 0];
     volT (VMEM f32 [num_libors, num_steps]): sigma_i(t_s) * R_i, TRANSPOSED
     so a time step is a [n, 1] sublane column; l0/delta (VMEM f32 [n, 1]).
     out (VMEM f32 [1, 128]): discounted payoff max(1-P_end-K*ann, 0)/N.
+
+    ``normals_ref`` (optional VMEM [num_steps_pad, 128] block per tile):
+    externally supplied standard normals instead of the on-core PRNG — the
+    CI path that lets the interpreter validate the Euler arithmetic
+    against a NumPy reference exactly (the interpreter does not honor
+    prng_seed, so the PRNG path is only statistically testable on TPU).
     """
     pid = pl.program_id(0).astype(jnp.int32)
-    pltpu.prng_seed(seed_ref[0].astype(jnp.int32)
-                    + pid * jnp.int32(-1640531527))
+    if normals_ref is None:
+        pltpu.prng_seed(seed_ref[0].astype(jnp.int32)
+                        + pid * jnp.int32(-1640531527))
     dt = scal_ref[0]
     sqrt_dt = scal_ref[1]
     strike = scal_ref[2]
@@ -83,11 +91,14 @@ def _lmm_kernel(seed_ref, scal_ref, volT_ref, l0_ref, delta_ref, out_ref, *,
 
     z_rows = []                                              # 16 per draw
     for s in range(num_steps):
-        if not z_rows:
-            z1, z2 = _draw_normal_pair(_DRAW)
-            z_rows = [z1[i:i + 1] for i in range(8)] \
-                + [z2[i:i + 1] for i in range(8)]
-        z = z_rows.pop(0)                                    # [1, 128]
+        if normals_ref is not None:
+            z = normals_ref[0, s:s + 1]                      # [1, 128]
+        else:
+            if not z_rows:
+                z1, z2 = _draw_normal_pair(_DRAW)
+                z_rows = [z1[i:i + 1] for i in range(8)] \
+                    + [z2[i:i + 1] for i in range(8)]
+            z = z_rows.pop(0)                                # [1, 128]
         # spot account accrues period s at its (frozen) fixing L_s
         N = N * (one + dt * L[s:s + 1])
         lam = jnp.where(
@@ -151,6 +162,65 @@ def lmm_swaption_kernel(seed: int, num_paths: int, num_libors: int,
                                            jnp.float32),
             interpret=interpret,
         )(seed_arr, scal, volT, l0, dl)
+
+    flat = payoffs[:, 0, :].reshape(-1)[:num_paths]
+    return jnp.sum(flat.astype(ACC_DTYPE)) / num_paths
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3),
+                   static_argnames=("interpret",))
+def lmm_swaption_kernel_with_normals(normals, num_libors: int,
+                                     exercise: int, periods: int,
+                                     vol_table, initial_forwards, deltas,
+                                     dt, strike, interpret: bool = False):
+    """PRNG-free variant: ``normals`` is [num_steps, num_paths] of standard
+    normals supplied by the caller. This is the CI validation path — the
+    identical Euler arithmetic runs under the Pallas interpreter on CPU and
+    is compared elementwise against a NumPy reference (the on-core PRNG
+    cannot be seeded there)."""
+    num_steps, num_paths = normals.shape
+    num_tiles = pl.cdiv(num_paths, _LANES)
+    pad = num_tiles * _LANES - num_paths
+    z = jnp.asarray(normals, dtype=jnp.float32)
+    if pad:
+        z = jnp.concatenate([z, jnp.zeros((num_steps, pad), jnp.float32)], 1)
+    # [tiles, steps, 128] so each program gets its own [1, steps, 128] block
+    z = z.reshape(num_steps, num_tiles, _LANES).transpose(1, 0, 2)
+
+    volT = jnp.asarray(vol_table, dtype=jnp.float32)[:num_steps].T
+    l0 = jnp.asarray(initial_forwards, dtype=jnp.float32)[:, None]
+    dl = jnp.asarray(deltas, dtype=jnp.float32)[:, None]
+    scal = jnp.stack([jnp.asarray(dt), jnp.sqrt(jnp.asarray(dt)),
+                      jnp.asarray(strike), jnp.asarray(0.0)]).astype(jnp.float32)
+    seed_arr = jnp.asarray([0], dtype=jnp.int32)
+
+    def kernel(seed_ref, scal_ref, volT_ref, l0_ref, delta_ref, normals_ref,
+               out_ref):
+        _lmm_kernel(seed_ref, scal_ref, volT_ref, l0_ref, delta_ref, out_ref,
+                    num_steps=num_steps, num_libors=num_libors,
+                    exercise=exercise, periods=periods,
+                    normals_ref=normals_ref)
+
+    with jax.enable_x64(False):
+        payoffs = pl.pallas_call(
+            kernel,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, num_steps, _LANES), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 8, _LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((num_tiles, 8, _LANES),
+                                           jnp.float32),
+            interpret=interpret,
+        )(seed_arr, scal, volT, l0, dl, z)
 
     flat = payoffs[:, 0, :].reshape(-1)[:num_paths]
     return jnp.sum(flat.astype(ACC_DTYPE)) / num_paths

@@ -155,3 +155,58 @@ class TestLMMPathKernelHardware:
             a["num_steps"], a["vol_table"], a["l0"], a["deltas"], a["dt"],
             a["strike"]))
         assert v_kernel == pytest.approx(v_engine, rel=0.02)
+
+
+class TestLMMPathKernelArithmeticCI:
+    """Exact CI validation of the kernel's Euler arithmetic: externally
+    injected normals make the kernel deterministic under the interpreter
+    (the on-core PRNG cannot be seeded there), so the payoffs can be
+    compared against an independent NumPy implementation of the same
+    discretization."""
+
+    def _numpy_reference(self, z, vol_table, l0, deltas, dt, e, periods, K):
+        S, paths = z.shape
+        n = len(l0)
+        L = np.tile(np.asarray(l0, np.float64)[:, None], (1, paths))
+        N = np.ones(paths)
+        for s in range(S):
+            N = N * (1.0 + dt * L[s])
+            lam = np.where(np.arange(n) >= s + 1, vol_table[s], 0.0)[:, None]
+            c = deltas[:, None] * lam / (1.0 + deltas[:, None] * L)
+            prefix = np.cumsum(c, axis=0)
+            L = L + lam * (prefix * dt + np.sqrt(dt) * z[s][None, :])
+        in_swap = (np.arange(n) >= e) & (np.arange(n) < e + periods)
+        r = np.where(in_swap[:, None], 1.0 / (1.0 + deltas[:, None] * L), 1.0)
+        cp = np.cumprod(r, axis=0)
+        ann = np.sum(np.where(in_swap[:, None], cp * deltas[:, None], 0.0), axis=0)
+        p_end = cp[e + periods - 1]
+        payoff = np.maximum(1.0 - p_end - K * ann, 0.0)
+        return float(np.mean(payoff / N))
+
+    def test_kernel_matches_numpy_on_injected_normals(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from finmath_tpu.ops.lmm_kernel import lmm_swaption_kernel_with_normals
+
+        rng = np.random.default_rng(5)
+        n, dt, S, paths = 20, 0.5, 8, 512
+        e, periods, K = 8, 8, 0.025
+        t = np.arange(S) * dt
+        T = np.arange(n) * dt
+        vol_table = np.where(T[None, :] > t[:, None], 0.009, 0.0)
+        l0 = np.full(n, 0.025)
+        deltas = np.full(n, dt)
+        z = rng.standard_normal((S, paths)).astype(np.float32)
+
+        ref = self._numpy_reference(z.astype(np.float64), vol_table, l0,
+                                    deltas, dt, e, periods, K)
+        lmm_swaption_kernel_with_normals.clear_cache()
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                v = float(lmm_swaption_kernel_with_normals(
+                    z, n, e, periods, vol_table.astype(np.float32), l0,
+                    deltas, dt, K))
+        finally:
+            lmm_swaption_kernel_with_normals.clear_cache()
+        # f32 kernel vs f64 NumPy on identical normals: only rounding left
+        assert v == pytest.approx(ref, rel=2e-5)
