@@ -70,7 +70,7 @@ class BermudanSwaptionPricer:
         degree = self.basis_degree
 
         def price(params):
-            def collect(e, L, N):
+            def collect(e, ev, L, N):
                 delta = jnp.asarray(deltas_np, dtype=FLOAT_DTYPE)
                 j = jnp.arange(n)[:, None]
                 r = jnp.where(j >= e, 1.0 / (1.0 + delta[:, None] * L), 1.0)

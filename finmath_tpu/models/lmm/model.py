@@ -334,27 +334,48 @@ class LMMValuationEngine:
         # exercise events: tenor index collected at the sim step that
         # STARTS at T_e (collect happens before accrual/evolution)
         collect_at = np.full(S, -1, dtype=np.int64)
-        for e in self.exercise_indices:
+        collect_ev = np.full(S, -1, dtype=np.int64)
+        for ev, e in enumerate(self.exercise_indices):
             s_idx = int(np.argmin(np.abs(sim - tenor[e])))
             if not np.isclose(sim[s_idx], tenor[e], atol=1e-9) or s_idx >= S:
                 raise ValueError(
                     f"exercise time {tenor[e]} is not a simulation step start")
             collect_at[s_idx] = e
+            collect_ev[s_idx] = ev
         self._collect_at_np = collect_at                             # [S]
+        self._collect_ev_np = collect_ev                             # [S]
         # per-product gathers
         self._ex_tenor_idx = np.asarray([p.exercise_index for p in self.products])
         self._ex_step_idx = np.asarray(
             [int(np.argmin(np.abs(sim - tenor[p.exercise_index])))
              for p in self.products])
-        # batched annuity masks: [P, n] of swap-period deltas
-        pay_mask = np.zeros((P, n), dtype=np.float64)
-        ends = np.zeros(P, dtype=np.int64)
-        for k, p in enumerate(self.products):
-            pay_mask[k, p.exercise_index : p.exercise_index + p.num_periods] = \
-                deltas[p.exercise_index : p.exercise_index + p.num_periods]
-            ends[k] = p.exercise_index + p.num_periods - 1
-        self._pay_mask_np = pay_mask
-        self._end_idx_np = ends
+        # event-grouped product packing: the collector values only the
+        # products of the CURRENT exercise event (padded to the largest
+        # group) instead of all P products at every event — the per-event
+        # [P_max, n] @ [n, paths] matmul and payoff arrays shrink ~P/P_max
+        E = len(self.exercise_indices)
+        groups = {ev: [k for k, p in enumerate(self.products)
+                       if p.exercise_index == e]
+                  for ev, e in enumerate(self.exercise_indices)}
+        P_max = max(len(g) for g in groups.values())
+        self._p_max = P_max
+        ev_pay_mask = np.zeros((E, P_max, n), dtype=np.float64)
+        ev_end_idx = np.zeros((E, P_max), dtype=np.int64)
+        ev_strikes = np.zeros((E, P_max), dtype=np.float64)
+        slot_of = np.zeros(P, dtype=np.int64)
+        for ev, ks in groups.items():
+            for slot, k in enumerate(ks):
+                p = self.products[k]
+                ev_pay_mask[ev, slot,
+                            p.exercise_index : p.exercise_index + p.num_periods] = \
+                    deltas[p.exercise_index : p.exercise_index + p.num_periods]
+                ev_end_idx[ev, slot] = p.exercise_index + p.num_periods - 1
+                ev_strikes[ev, slot] = p.strike
+                slot_of[k] = slot
+        self._ev_pay_mask_np = ev_pay_mask
+        self._ev_end_idx_np = ev_end_idx
+        self._ev_strikes_np = ev_strikes
+        self._slot_of_np = slot_of
         # terminal-measure numeraire at t=0: P(0, T_n) from the model's own
         # initial forwards (finmath computes getNumeraire(0) from the MC
         # model's initial state, i.e. the forward curve)
@@ -384,8 +405,9 @@ class LMMValuationEngine:
     # ------------------------------------------------------------------
     def _simulate_collect(self, params, collect):
         """ONE fused ``lax.scan`` over every simulation step: evolve
-        (L, N, V); at exercise steps a ``lax.cond``-gated ``collect(e, L, N)``
-        (fixed output shape across events) emits a pytree.
+        (L, N, V); at exercise steps a ``lax.cond``-gated
+        ``collect(e, ev, L, N)`` (e = exercise tenor index, ev = event
+        ordinal; fixed output shape across events) emits a pytree.
 
         This replaces the round-1 per-exercise-segment unrolling (11 scan
         bodies in the jaxpr -> 22 s XLA compiles); the jaxpr now contains
@@ -421,6 +443,7 @@ class LMMValuationEngine:
         alive_table = jnp.asarray(self._alive_np)             # [S, n] bool
         accrual_table = jnp.asarray(self._accrual_np, dtype=dtype)  # [S, n]
         collect_at = jnp.asarray(self._collect_at_np)         # [S] int
+        collect_ev = jnp.asarray(self._collect_ev_np)         # [S] int
 
         base_key = jax.random.PRNGKey(self.seed)
         if self.mesh is not None:
@@ -487,6 +510,7 @@ class LMMValuationEngine:
         out_spec = jax.eval_shape(
             collect_op,
             (jnp.zeros((), dtype=jnp.int64),
+             jnp.zeros((), dtype=jnp.int64),
              jax.ShapeDtypeStruct((n, paths), dtype),
              jax.ShapeDtypeStruct((paths,), dtype)),
         )
@@ -505,7 +529,8 @@ class LMMValuationEngine:
             alive = alive_table[s][:, None]                       # [n, 1]
             y = jax.lax.cond(
                 collect_at[s] >= 0,
-                collect_op, lambda _: zero_y, (collect_at[s], L, N),
+                collect_op, lambda _: zero_y,
+                (collect_at[s], collect_ev[s], L, N),
             )
             # spot account accrues when the step starts a tenor period
             if spot:
@@ -565,25 +590,27 @@ class LMMValuationEngine:
 
     # ------------------------------------------------------------------
     def _simulate_and_value(self, params):
-        """Simulate once and value ALL products: the collector computes
-        batched [P, n] @ [n, paths] annuity matmuls on the MXU and emits
-        local f64 path sums; after the scan each product gathers its own
-        exercise event and a single psum (when sharded) finishes the
-        expectations. Returns (values [P], mean_inv_numeraire [P])."""
+        """Simulate once and value the CURRENT EVENT's products at each
+        exercise step (padded to the largest per-event group): the
+        collector computes a [P_max, n] @ [n, paths] annuity matmul on the
+        MXU and emits local f64 path sums; after the scan each product
+        gathers its own (exercise step, slot) and a single psum (when
+        sharded) finishes the expectations.
+        Returns (values [P], mean_inv_numeraire [P])."""
         model = self.model
         n = model.num_libors
         dtype = self.dtype
         spot = model.measure == "spot"
         P = len(self.products)
         deltas = jnp.asarray(model.deltas, dtype=dtype)
-        pay_mask = jnp.asarray(self._pay_mask_np, dtype=dtype)    # [P, n]
-        end_idx = jnp.asarray(self._end_idx_np)
-        strikes = jnp.asarray(self._strike, dtype=dtype)[:, None]
+        ev_pay_mask = jnp.asarray(self._ev_pay_mask_np, dtype=dtype)
+        ev_end_idx = jnp.asarray(self._ev_end_idx_np)
+        ev_strikes = jnp.asarray(self._ev_strikes_np, dtype=dtype)
         j_iota = jnp.arange(n)[:, None]
 
-        def collect(e, L, N):
+        def collect(e, ev, L, N):
             """Local (unnormalized) f64 path sums of payoff/numeraire and
-            of 1/numeraire for ALL products at exercise index e."""
+            of 1/numeraire for event ``ev``'s products (exercise index e)."""
             # bond ratios at T_e: cp[j] = P(T_e, T_{j+1})
             r = jnp.where(j_iota >= e, 1.0 / (1.0 + deltas[:, None] * L), 1.0)
             cp = jnp.cumprod(r, axis=0)
@@ -591,17 +618,19 @@ class LMMValuationEngine:
                 inv_n = (1.0 / N).astype(ACC_DTYPE)               # [paths]
             else:
                 inv_n = (1.0 / cp[n - 1]).astype(ACC_DTYPE)       # 1/P(T_e,T_n)
-            ann = jnp.matmul(pay_mask, cp,
-                             precision=jax.lax.Precision.HIGHEST)  # [P, paths]
-            p_end = cp[end_idx]                                   # [P, paths]
-            payoff = jnp.maximum(1.0 - p_end - strikes * ann, 0.0)
+            ann = jnp.matmul(ev_pay_mask[ev], cp,
+                             precision=jax.lax.Precision.HIGHEST)  # [P_max, paths]
+            p_end = cp[ev_end_idx[ev]]                            # [P_max, paths]
+            payoff = jnp.maximum(
+                1.0 - p_end - ev_strikes[ev][:, None] * ann, 0.0)
             raw = jnp.sum(payoff.astype(ACC_DTYPE) * inv_n[None, :], axis=-1)
             return raw, jnp.sum(inv_n)
 
         raw_steps, inv_steps = self._simulate_collect(params, collect)
-        # gather each product's own exercise event, then reduce once
+        # gather each product's own (exercise step, slot), then reduce once
         ex_steps = jnp.asarray(self._ex_step_idx)
-        raw = raw_steps[ex_steps, jnp.arange(P)]                  # [P]
+        slots = jnp.asarray(self._slot_of_np)
+        raw = raw_steps[ex_steps, slots]                          # [P]
         inv_sum = inv_steps[ex_steps]                             # [P]
         if self.mesh is not None:
             raw = jax.lax.psum(raw, self.path_axis)
