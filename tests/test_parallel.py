@@ -108,3 +108,34 @@ class TestShardedLMM:
         assert np.all(np.isfinite(np.asarray(g)))
         # gradient descent step must reduce the loss
         assert float(loss(p0 - 0.05 * g)) < float(loss(p0))
+
+
+class TestShardedStochVolBenchmark:
+    """The benchmark model (blended local vol + stochastic vol, extra
+    Brownian factor, lognormal quotes) under path sharding: covers the
+    V-scaling carry, the cond-gated collector and the per-device RNG
+    folding inside shard_map."""
+
+    def test_sharded_benchmark_residuals(self, mesh):
+        from finmath_tpu.models.lmm.benchmark_calibration import (
+            build_benchmark_calibration,
+        )
+
+        unsharded = build_benchmark_calibration(num_paths=4096, seed=314151)
+        sharded = build_benchmark_calibration(num_paths=4096, seed=314151,
+                                              mesh=mesh)
+        p0 = unsharded.covariance.initial_parameters
+        r_sh = sharded.engine.residuals(p0)
+        r_un = unsharded.engine.residuals(p0)
+        assert np.all(np.isfinite(r_sh))
+        # different per-device streams -> MC-noise agreement only
+        # (lognormal vol units at 4096 paths: a couple of percent). The
+        # deep-ITM smile quote has almost no time value at this path count
+        # — its implied vol collapses to 0 on unlucky draws — so it is
+        # excluded from the noise bound.
+        keep = np.asarray([p.target < 0.5 for p in sharded.engine.products])
+        assert np.max(np.abs(r_sh - r_un)[keep]) < 0.05
+        # jacobian flows through psum + cond + V carry
+        J = sharded.engine.jacobian(p0)
+        assert J.shape == (len(sharded.engine.products), 8)
+        assert np.all(np.isfinite(J))
