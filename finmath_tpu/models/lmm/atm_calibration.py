@@ -177,12 +177,16 @@ def build_atm_calibration(num_paths: int = 10_000, num_factors: int = 1,
 
         engine = LMMAnalyticSwaptionEngine(model, products)
     elif calibration_product_type == "MONTECARLO":
+        # segmented scan mode: the calibration loop re-runs these programs
+        # hundreds of times, so the ~25% faster warm runtime beats the
+        # one-time compile saving of the fused mode
         engine = LMMValuationEngine(model, products, num_paths, num_factors,
-                                    seed, mesh=mesh, dtype=dtype)
+                                    seed, mesh=mesh, dtype=dtype,
+                                    scan_mode="segmented")
         if jacobian_paths is not None and jacobian_paths < num_paths:
             jacobian_engine = LMMValuationEngine(
                 model, products, jacobian_paths, num_factors, seed, mesh=mesh,
-                dtype=dtype,
+                dtype=dtype, scan_mode="segmented",
             )
     else:
         raise ValueError(

@@ -79,7 +79,7 @@ class BenchmarkCalibrationSetup:
             paths = max(eng.num_paths // 4, 8_192)
             self._sweep_engine = LMMValuationEngine(
                 self.model, list(eng.products), paths, eng.num_factors,
-                eng.seed)
+                eng.seed, scan_mode=eng.scan_mode)
         return self._sweep_engine
 
     def calibrate(self, max_iterations: int = 30, accuracy: float = 1e-6,
@@ -296,8 +296,10 @@ def build_benchmark_calibration(num_paths: int = 8192, num_factors: int = 5,
         measure="spot", state_space="normal",
         use_numeraire_adjustment=False,  # ref. passes discountCurve=null
     )
+    # segmented scan mode: the multistart calibration evaluates these
+    # programs hundreds of times — warm runtime beats compile time here
     engine = LMMValuationEngine(model, products, num_paths, num_factors,
-                                seed, mesh=mesh)
+                                seed, mesh=mesh, scan_mode="segmented")
     return BenchmarkCalibrationSetup(
         engine=engine, model=model, covariance=covariance, products=products
     )
