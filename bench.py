@@ -215,6 +215,100 @@ def bench_brownian_generation():
     return out
 
 
+def bench_eager_ops():
+    """BASELINE config 1: RandomVariable elementwise ops + getAverage on a
+    100k-path vector, eager object API (per-op dispatch — the reference's
+    RandomVariableGPUTest oracle-sweep shape), TPU vs the CPU float
+    oracle."""
+    import numpy as np
+
+    from finmath_tpu.ops.random_variable import RandomVariableTPU
+    from finmath_tpu.ops.random_variable_float import RandomVariableFloat
+
+    import jax.numpy as jnp
+
+    vals = np.random.default_rng(0).uniform(0.5, 2.0, 100_000).astype(np.float32)
+
+    def rv_chain(x):
+        # a representative elementwise chain (reduction applied by caller)
+        y = x.mult(1.01).add(0.02).exp().log().discount(x, 0.5)
+        return y.add_product(x, x).cap(3.0).floor(0.1).sqrt()
+
+    def chain(x):
+        return rv_chain(x).get_average()
+
+    out = {}
+    for name, cls in (("tpu_eager", RandomVariableTPU),
+                      ("cpu_float", RandomVariableFloat)):
+        x = cls(0.0, vals)
+        chain(x)  # warm
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            avg = chain(x)
+            ts.append(time.perf_counter() - t0)
+        out[name] = {"wall_ms": round(float(min(ts)) * 1000, 3),
+                     "avg": float(avg)}
+
+    # the framework's prescribed usage: the same chain under jit — ONE
+    # dispatch, XLA fuses the elementwise ops (eager per-op dispatch over
+    # this TPU's remote tunnel pays ~10 ms RPC per op, the same
+    # launch-overhead disease the reference's tiny CUDA kernels had)
+    import jax
+
+    @jax.jit
+    def fused(v):
+        y = rv_chain(RandomVariableTPU(0.0, v))
+        # get_average() casts to a host float, which cannot trace — use
+        # the same f64-accumulated mean on the raw realizations
+        import jax.numpy as jnp2
+
+        return jnp2.mean(y.get_realizations_jax().astype(jnp2.float64)) \
+            if hasattr(y, "get_realizations_jax") \
+            else jnp2.mean(y._values.astype(jnp2.float64))
+
+    fused(vals)
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        avg = float(fused(vals))
+        ts.append(time.perf_counter() - t0)
+    out["tpu_jit_fused"] = {"wall_ms": round(float(min(ts)) * 1000, 3),
+                            "avg": avg}
+    out["agree"] = bool(
+        abs(out["tpu_eager"]["avg"] - out["cpu_float"]["avg"]) < 1e-5)
+    out["note"] = ("this TPU is reached through a remote tunnel adding "
+                   "~30 ms dispatch RTT per call; on-chip compute for the "
+                   "fused chain is sub-ms (see the 1M-path BS rows where "
+                   "compute amortizes the RTT)")
+    return out
+
+
+def bench_bermudan():
+    """BASELINE config 3: Longstaff-Schwartz Bermudan swaption via
+    on-device conditional-expectation regression (the reference CANNOT run
+    this on GPU — its choose() returns null)."""
+    import numpy as np
+
+    from finmath_tpu.models.lmm.atm_calibration import build_atm_calibration
+    from finmath_tpu.models.lmm.bermudan import (BermudanSwaption,
+                                                 BermudanSwaptionPricer)
+
+    setup = build_atm_calibration(num_paths=100_000, num_factors=1)
+    product = BermudanSwaption(exercise_indices=(4, 8, 12, 16),
+                               maturity_index=20, strike=0.01)
+    pricer = BermudanSwaptionPricer(setup.model, product, 100_000, 1)
+    p0 = setup.covariance.initial_parameters
+    v = pricer.get_value(p0)  # compile
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        v = pricer.get_value(p0)
+        ts.append(time.perf_counter() - t0)
+    return {"paths": 100_000, "exercises": 4, "wall_ms": round(min(ts) * 1000, 2),
+            "value": round(v, 6)}
+
+
 def bench_parity_1e6():
     """North-star parity on the real device: f32 production prices vs the
     f64 oracle mode on the identical Brownian stream (1e-6 relative,
@@ -277,6 +371,14 @@ def main():
         result["detail"]["parity_1e6"] = bench_parity_1e6()
     except Exception as exc:
         result["detail"]["parity_1e6_error"] = str(exc)
+    try:
+        result["detail"]["eager_ops_100k"] = bench_eager_ops()
+    except Exception as exc:
+        result["detail"]["eager_ops_error"] = str(exc)
+    try:
+        result["detail"]["bermudan_ls_100k"] = bench_bermudan()
+    except Exception as exc:
+        result["detail"]["bermudan_error"] = str(exc)
     print(json.dumps(result))
 
 
