@@ -131,6 +131,7 @@ def bench_stochvol_calibration(num_paths):
     t0 = time.perf_counter()
     setup.engine.residuals(p0)
     setup.engine.jacobian(p0)
+    setup.engine.values(p0)      # rms19 target checks go through values()
     sweep = setup.sweep_engine()
     sweep.residuals(p0)
     sweep.jacobian(p0)

@@ -39,7 +39,8 @@ import jax
 # set FINMATH_TPU_SKIP_GLOBAL_CONFIG=1 before import and are then
 # responsible for enabling x64 themselves (reductions silently lose the
 # f64 contract otherwise).
-if not os.environ.get("FINMATH_TPU_SKIP_GLOBAL_CONFIG"):
+if os.environ.get("FINMATH_TPU_SKIP_GLOBAL_CONFIG", "").lower() not in (
+        "1", "true", "yes"):
     jax.config.update("jax_enable_x64", True)
     # the MXU analog of the reference's `nvcc -fmad false`: TPU f32
     # matmuls default to reduced-precision bf16 passes (~1e-4 relative),
@@ -55,7 +56,7 @@ if not os.environ.get("FINMATH_TPU_SKIP_GLOBAL_CONFIG"):
     enable_compilation_cache()
     select_device()
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from .ops.random_variable import RandomVariable, RandomVariableTPU, RandomVariableTPUFactory
 from .ops.random_variable_float import RandomVariableFloat, RandomVariableFloatFactory

@@ -76,10 +76,16 @@ class BenchmarkCalibrationSetup:
         one to keep compilation out of timed regions."""
         if self._sweep_engine is None:
             eng = self.engine
-            paths = max(eng.num_paths // 4, 8_192)
+            # never LARGER than the main engine (the 8192 floor would
+            # invert the cost model for small setups), same mesh/dtype
+            paths = min(eng.num_paths, max(eng.num_paths // 4, 8_192))
+            if eng.mesh is not None:
+                n_dev = int(np.prod(eng.mesh.devices.shape))
+                paths = max(paths - paths % n_dev, n_dev)
             self._sweep_engine = LMMValuationEngine(
                 self.model, list(eng.products), paths, eng.num_factors,
-                eng.seed, scan_mode=eng.scan_mode)
+                eng.seed, mesh=eng.mesh, dtype=eng.dtype,
+                scan_mode=eng.scan_mode)
         return self._sweep_engine
 
     def calibrate(self, max_iterations: int = 30, accuracy: float = 1e-6,
@@ -143,10 +149,11 @@ class BenchmarkCalibrationSetup:
         x0 = np.asarray(self.covariance.initial_parameters, dtype=np.float64)
 
         # ---- stage 1: ATM-only warm start over the first 5 parameters ----
-        smile_e = {p.exercise_index for p in self.products
-                   if p.exercise_index == int(round(5.0 / DT))}
+        # at-the-money = strike equals the product's par swap rate (this
+        # keeps the 5Y ATM node, whose target value collides with the
+        # smile's m=0 quote, and drops only the off-money smile quotes)
         atm_ids = [i for i, p in enumerate(eng.products)
-                   if not (p.exercise_index in smile_e and p.target in SMILE_VOLS)]
+                   if abs(p.strike - eng._fwd0[i]) < 1e-10]
         frozen = x0[5:]
         r5 = least_squares(
             lambda x5: sfun(np.concatenate([x5, frozen]))[atm_ids],
@@ -219,7 +226,13 @@ class BenchmarkCalibrationSetup:
         # target is met or a polish stops improving the incumbent by >3%.
         polish_list = curated + [c for _, c in scored[:2]]
         seen_keys = set()
-        best_x, best_err = scored[0][1] if scored else x0, np.inf
+        # the incumbent starts from the best ALREADY-SCORED candidate with
+        # its known error (np.inf here could let a worse polish result win
+        # over a better candidate that the improvement-stop then skips)
+        if scored:
+            best_err, best_x = scored[0]
+        else:
+            best_x, best_err = x0, np.inf
         for cand in polish_list:
             key = tuple(np.round(cand, 6))
             if key in seen_keys:

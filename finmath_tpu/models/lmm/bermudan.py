@@ -52,12 +52,15 @@ class BermudanSwaptionPricer:
         self.seed = int(seed)
         self.basis_degree = int(basis_degree)
 
-        # reuse the engine's segmented simulation by posing the exercise
-        # dates as "exercise indices" of a dummy product list
+        # reuse the engine's simulation by posing the exercise dates as
+        # "exercise indices" of a dummy product list. scan_mode MUST be
+        # "fused": the backward induction below gathers the step-stacked
+        # collect output by simulation-step index (exercise_step_of);
+        # segmented mode returns event-stacked arrays instead.
         dummy = [SwaptionProduct(e, product.maturity_index - e, product.strike, 0.0)
                  for e in product.exercise_indices]
         self._engine = LMMValuationEngine(
-            model, dummy, num_paths, num_factors, seed
+            model, dummy, num_paths, num_factors, seed, scan_mode="fused"
         )
         self._price_fn = jax.jit(self._build_price_fn())
 

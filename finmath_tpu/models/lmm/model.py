@@ -452,8 +452,6 @@ class LMMValuationEngine:
         L0_b = jnp.broadcast_to(L0[:, None], (n, paths))
         alive_table = jnp.asarray(self._alive_np)             # [S, n] bool
         accrual_table = jnp.asarray(self._accrual_np, dtype=dtype)  # [S, n]
-        collect_at = jnp.asarray(self._collect_at_np)         # [S] int
-        collect_ev = jnp.asarray(self._collect_ev_np)         # [S] int
 
         base_key = jax.random.PRNGKey(self.seed)
         if self.mesh is not None:
@@ -629,7 +627,13 @@ class LMMValuationEngine:
             )
             return sim_step(carry, s), y
 
-        _, ys = jax.lax.scan(step, carry0, jnp.arange(S))
+        # nothing after the last exercise event is ever collected — stop
+        # there (collect happens at the step START, so the last event's
+        # step itself must run); on the 40Y ATM grid with 30Y-max expiries
+        # this skips a quarter of the Euler work
+        s_stop = int(self._event_steps_np[-1]) + 1 if len(
+            self._event_steps_np) else S
+        _, ys = jax.lax.scan(step, carry0, jnp.arange(s_stop))
         return ys
 
     def _simulate_collect_segmented(self, params, collect):

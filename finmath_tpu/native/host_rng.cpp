@@ -118,8 +118,14 @@ void rng_fill_uniform(void* gen, float* out, size_t n) {
 // BrownianMotionJavaRandom: inverseCumulativeDistribution(uniform) * sqrt(dt))
 void rng_fill_normal(void* gen, float* out, size_t n, double stddev) {
     auto* g = static_cast<Generator*>(gen);
-    for (size_t i = 0; i < n; ++i)
-        out[i] = static_cast<float>(inverse_normal_cdf(g->uniform()) * stddev);
+    for (size_t i = 0; i < n; ++i) {
+        // genrand_res53 is in [0, 1): the 2^-53-probability exact 0 would
+        // map to -inf through the ICDF — clamp without perturbing any
+        // other value of the canonical stream
+        double u = g->uniform();
+        if (u <= 0.0) u = 0x1.0p-54;
+        out[i] = static_cast<float>(inverse_normal_cdf(u) * stddev);
+    }
 }
 
 double rng_inverse_normal_cdf(double p) { return inverse_normal_cdf(p); }

@@ -182,10 +182,12 @@ class HostRandomGenerator:
             )
         else:
             # same uniform stream as the native path (bit-identical
-            # MT19937); only the ICDF differs (ndtri vs AS241, ~1e-9)
+            # MT19937); only the ICDF differs (ndtri vs AS241, ~1e-9).
+            # Clamp the 2^-53-probability exact 0 away from -inf like the
+            # native path does.
             from scipy.special import ndtri
 
-            u = self._numpy.random(n)
+            u = np.maximum(self._numpy.random(n), 2.0 ** -54)
             out[:] = (ndtri(u) * stddev).astype(np.float32)
         return out
 
