@@ -176,8 +176,15 @@ class BenchmarkCalibrationSetup:
         # trust region re-optimizes all 8 parameters from here for
         # whatever paths/quotes are in use.
         curated = [
+            # primary: best cross-seed generalization (0.25% in-sample at
+            # 81,920 -> 0.39-0.57% on fresh path sets)
             np.asarray([0.21772482, -0.00784758, -0.1260687, 0.14290155,
                         -0.14987065, 1.40476417, -1.45021006, -0.7604945]),
+            # deeper 81,920-path point from the extended search (rms19
+            # 0.219% there, but overfits other path sets — polished only
+            # if it actually improves on the primary)
+            np.asarray([0.22035496, -0.00870914, -0.13787344, 0.13682267,
+                        -0.20244365, 1.39206303, -1.46669279, -0.76786012]),
             np.asarray([0.30348388, 0.0594386, 0.0874078, 0.08928988,
                         0.11696195, -0.07899034, 1.10394829, -0.60141384]),
         ]

@@ -19,12 +19,13 @@ from the reference; see SURVEY.md §3.5 and §7):
   ALL products from the same path ensemble; the per-exercise annuity sums
   are batched into a single [products x libors] @ [libors x paths] matmul
   that runs on the MXU.
-* The time loop is ONE ``lax.scan`` over the whole simulation grid with a
-  ``lax.cond``-gated collector at exercise steps, so XLA fuses each Euler
-  step's drift/diffusion chain into a few VPU loops over the
-  [libors, paths] block and the jaxpr stays small regardless of how many
-  exercise dates the product set has (round 1 unrolled one scan per
-  exercise segment — 11 scan bodies made cold XLA compiles ~3x slower).
+* The time loop ships in two shapes behind ``scan_mode``: "fused" (ONE
+  ``lax.scan`` with a ``lax.cond``-gated collector at exercise steps —
+  small jaxpr, ~4x faster XLA compiles, the default) and "segmented" (one
+  scan per exercise segment, no per-step branch — ~25% faster warm, used
+  by the calibration workloads that re-run the compiled programs hundreds
+  of times). Either way XLA fuses each Euler step's drift/diffusion chain
+  into a few VPU loops over the [libors, paths] block.
 * The whole program — simulate, value, invert to implied vol, residuals —
   is differentiable; ``jax.jacfwd`` gives the calibration Jacobian in one
   batched forward pass instead of finmath's per-parameter finite
