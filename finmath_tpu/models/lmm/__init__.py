@@ -16,6 +16,7 @@ from .benchmark_calibration import (
 from .analytic_approximation import LMMAnalyticSwaptionEngine
 from .bermudan import BermudanSwaption, BermudanSwaptionPricer
 from .products import CapFloor
+from .eager import eager_swaption_valuation
 
 __all__ = [
     "LIBORVolatilityModelPiecewiseConstant",

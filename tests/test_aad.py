@@ -130,6 +130,109 @@ class TestGreeks:
         assert vega == pytest.approx(analytic_vega, rel=0.05)
 
 
+class TestModelValuationAAD:
+    """Tape AAD driven through a FULL model valuation — the eager LMM
+    swaption sweep of ``finmath_tpu.models.lmm.eager`` priced under
+    ``RandomVariableDifferentiableFactory``, the way finmath's AAD gets
+    used (inject the differentiable factory, value, ask for greeks)."""
+
+    # tenor grid: 6 semiannual periods; swaption 1y into 2y
+    DELTAS = [0.5] * 6
+    L0 = [0.020, 0.025, 0.030, 0.032, 0.034, 0.036]
+    E, M, STRIKE = 2, 4, 0.030
+    VOL = 0.012
+    PATHS = 20_000
+
+    @classmethod
+    def _increments(cls):
+        rng = np.random.default_rng(7)
+        return (rng.standard_normal((cls.E, cls.PATHS)) * math.sqrt(0.5)).astype(
+            np.float32
+        )
+
+    @classmethod
+    def _replica_price(cls, sig, incs):
+        """Pure-jnp replica of the eager sweep, for jacfwd cross-check.
+        Mirrors eager_swaption_valuation's arithmetic step for step."""
+        import jax.numpy as jnp
+
+        n = len(cls.DELTAS)
+        sig = sig.astype(jnp.float32)
+        libors = [jnp.full((cls.PATHS,), f, dtype=jnp.float32) for f in cls.L0]
+        numeraire = jnp.ones((cls.PATHS,), dtype=jnp.float32)
+        for s in range(cls.E):
+            dt = cls.DELTAS[s]
+            numeraire = numeraire * (1.0 + libors[s] * dt)
+            dw = jnp.asarray(incs[s])
+            acc = None
+            new = list(libors)
+            for i in range(s + 1, n):
+                c = sig * cls.DELTAS[i] / (libors[i] * cls.DELTAS[i] + 1.0)
+                acc = c if acc is None else acc + c
+                new[i] = libors[i] + (sig * acc) * dt + sig * dw
+            libors = new
+        swap = None
+        bond = jnp.ones((cls.PATHS,), dtype=jnp.float32)
+        for i in range(cls.E, cls.E + cls.M):
+            bond = bond / (1.0 + libors[i] * cls.DELTAS[i])
+            leg = (libors[i] - cls.STRIKE) * cls.DELTAS[i] * bond
+            swap = leg if swap is None else swap + leg
+        payoff = jnp.maximum(swap, 0.0)
+        return jnp.mean((payoff / numeraire).astype(jnp.float64))
+
+    def test_eager_value_matches_jitted_replica(self):
+        from finmath_tpu.models.lmm.eager import eager_swaption_valuation
+        from finmath_tpu.ops.random_variable import RandomVariableTPUFactory
+
+        import jax.numpy as jnp
+
+        incs = self._increments()
+        rv = eager_swaption_valuation(
+            RandomVariableTPUFactory(), self.L0, self.DELTAS, self.VOL,
+            incs, self.E, self.M, self.STRIKE,
+        )
+        ref = float(self._replica_price(jnp.float64(self.VOL), incs))
+        assert rv.get_average() == pytest.approx(ref, rel=1e-4)
+
+    def test_eager_value_matches_cpu_float_oracle(self):
+        from finmath_tpu.models.lmm.eager import eager_swaption_valuation
+        from finmath_tpu.ops.random_variable import RandomVariableTPUFactory
+        from finmath_tpu.ops.random_variable_float import RandomVariableFloatFactory
+
+        incs = self._increments()
+        v_tpu = eager_swaption_valuation(
+            RandomVariableTPUFactory(), self.L0, self.DELTAS, self.VOL,
+            incs, self.E, self.M, self.STRIKE,
+        ).get_average()
+        v_cpu = eager_swaption_valuation(
+            RandomVariableFloatFactory(), self.L0, self.DELTAS, self.VOL,
+            np.asarray(incs), self.E, self.M, self.STRIKE,
+        ).get_average()
+        assert v_tpu == pytest.approx(v_cpu, rel=1e-5)
+
+    def test_tape_vega_matches_jacfwd(self):
+        """The VERDICT round-1 gap: get_gradient through an LMM valuation,
+        cross-checked against jacfwd of the identical computation."""
+        import jax
+        import jax.numpy as jnp
+
+        from finmath_tpu.models.lmm.eager import eager_swaption_valuation
+
+        incs = self._increments()
+        factory = RandomVariableDifferentiableFactory()
+        sigma = factory.create_random_variable(0.0, self.VOL)
+        value = eager_swaption_valuation(
+            factory, self.L0, self.DELTAS, sigma, incs,
+            self.E, self.M, self.STRIKE,
+        ).average()
+        vega = value.get_gradient([sigma])[sigma.get_id()].double_value()
+
+        vega_ref = float(jax.jacfwd(self._replica_price)(
+            jnp.float64(self.VOL), incs))
+        assert vega_ref != 0.0
+        assert vega == pytest.approx(vega_ref, rel=2e-3)
+
+
 class TestConditionalExpectation:
     def test_regression_recovers_function(self):
         rng = np.random.default_rng(0)
