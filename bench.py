@@ -52,10 +52,17 @@ def bench_lmm_atm_calibration():
     t0 = time.perf_counter()
     setup.engine.residuals(p0)
     (setup.jacobian_engine or setup.engine).jacobian(p0)
+    setup.analytic_engine.residuals(p0)
+    setup.analytic_engine.jacobian(p0)
     compile_s = time.perf_counter() - t0
 
+    # the timed region is the complete two-stage calibration procedure:
+    # analytic-approximation pre-calibration (no Monte Carlo) to warm-start
+    # the Monte-Carlo Levenberg-Marquardt; quality is measured on the
+    # full-resolution MC engine exactly as before
     t0 = time.perf_counter()
-    result = setup.calibrate(max_iterations=60, accuracy=1e-7)
+    result = setup.calibrate(max_iterations=60, accuracy=1e-7,
+                             warm_start="analytic")
     wall = time.perf_counter() - t0
 
     dev = setup.deviations(result.parameters)
@@ -69,6 +76,7 @@ def bench_lmm_atm_calibration():
             "products": len(setup.products),
             "parameters": int(setup.covariance.n_params),
             "iterations": result.iterations,
+            "warm_start": "analytic",
             "rms_error": float(result.rms_error),
             "mean_deviation": float(np.mean(dev)),
             "rms_deviation": float(np.sqrt(np.mean(dev**2))),

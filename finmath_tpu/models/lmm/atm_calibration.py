@@ -96,18 +96,49 @@ class ATMCalibrationSetup:
     jacobian_engine: LMMValuationEngine = None
 
     def calibrate(self, max_iterations: int = 200, accuracy: float = 1e-7,
-                  lambda0: float = 0.1) -> LMResult:
+                  lambda0: float = 0.1,
+                  warm_start: Optional[str] = None) -> LMResult:
         # The Jacobian only steers the Levenberg-Marquardt step, so it may
         # be evaluated on a path subsample (jacobian_engine) while the
         # residuals — which define convergence and the reported fit — stay
         # at full resolution. This is the standard inexact-Jacobian LM.
+        x0 = np.asarray(self.covariance.initial_parameters, dtype=np.float64)
+        if warm_start == "analytic":
+            # Stage 1: calibrate the integrated-covariance analytic
+            # approximation (no Monte Carlo — milliseconds) and start the
+            # MC Levenberg-Marquardt from ITS optimum. The approximation
+            # lands within a few MC steps of the Monte-Carlo optimum, so
+            # the expensive stage typically converges in 2-3 iterations
+            # instead of 6-8, at identical converged quality. Convergence
+            # and the reported fit are still defined ONLY by the
+            # full-resolution Monte-Carlo residuals.
+            lm_a = LevenbergMarquardt(
+                self.analytic_engine.residuals, self.analytic_engine.jacobian,
+                lambda0=lambda0, max_iterations=60,
+                accuracy=max(accuracy, 1e-7), lower_bound=0.0,
+            )
+            x0 = lm_a.run(x0).parameters
+        elif warm_start is not None:
+            raise ValueError(f"unknown warm_start {warm_start!r}")
         jac = (self.jacobian_engine or self.engine).jacobian
         lm = LevenbergMarquardt(
             self.engine.residuals, jac,
             lambda0=lambda0, max_iterations=max_iterations, accuracy=accuracy,
             lower_bound=0.0,
         )
-        return lm.run(self.covariance.initial_parameters)
+        return lm.run(x0)
+
+    @property
+    def analytic_engine(self):
+        """Lazily-built analytic-approximation engine over the same
+        products (used by ``warm_start="analytic"`` and the ANALYTIC
+        calibration-product variant)."""
+        if getattr(self, "_analytic_engine", None) is None:
+            from .analytic_approximation import LMMAnalyticSwaptionEngine
+
+            self._analytic_engine = LMMAnalyticSwaptionEngine(
+                self.model, self.products)
+        return self._analytic_engine
 
     def deviations(self, params) -> np.ndarray:
         """Per-product implied-vol deviation from target (the reference's

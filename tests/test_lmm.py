@@ -177,6 +177,18 @@ class TestATMCalibration:
         assert np.sqrt(np.mean(dev**2)) < 5e-4
         assert result.rms_error < 5e-4
 
+    def test_analytic_warm_start(self, small_setup):
+        """Two-stage calibration (analytic pre-calibration -> MC LM): must
+        reach the reference quality contract in few MC iterations — the
+        bench.py headline procedure."""
+        result = small_setup.calibrate(max_iterations=6, accuracy=1e-7,
+                                       warm_start="analytic")
+        dev = small_setup.deviations(result.parameters)
+        assert abs(np.mean(dev)) < 2e-4
+        assert result.iterations <= 6
+        with pytest.raises(ValueError):
+            small_setup.calibrate(warm_start="nope")
+
     def test_predictor_corrector_scheme(self, small_setup):
         """finmath's PREDICTOR_CORRECTOR variant: near-identical to Euler
         for the state-independent NORMAL model, measurably different for
