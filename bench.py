@@ -268,13 +268,9 @@ def bench_eager_ops():
     @jax.jit
     def fused(v):
         y = rv_chain(RandomVariableTPU(0.0, v))
-        # get_average() casts to a host float, which cannot trace — use
-        # the same f64-accumulated mean on the raw realizations
-        import jax.numpy as jnp2
-
-        return jnp2.mean(y.get_realizations_jax().astype(jnp2.float64)) \
-            if hasattr(y, "get_realizations_jax") \
-            else jnp2.mean(y._values.astype(jnp2.float64))
+        # get_average() casts to a host float, which cannot trace — apply
+        # the same f64-accumulated mean to the raw realizations
+        return jnp.mean(y._values.astype(jnp.float64))
 
     fused(vals)
     ts = []

@@ -82,10 +82,12 @@ class BenchmarkCalibrationSetup:
             if eng.mesh is not None:
                 n_dev = int(np.prod(eng.mesh.devices.shape))
                 paths = max(paths - paths % n_dev, n_dev)
+            if eng.antithetic:
+                paths -= paths % 2
             self._sweep_engine = LMMValuationEngine(
                 self.model, list(eng.products), paths, eng.num_factors,
                 eng.seed, mesh=eng.mesh, dtype=eng.dtype,
-                scan_mode=eng.scan_mode)
+                scan_mode=eng.scan_mode, antithetic=eng.antithetic)
         return self._sweep_engine
 
     def calibrate(self, max_iterations: int = 30, accuracy: float = 1e-6,
@@ -280,7 +282,8 @@ class BenchmarkCalibrationSetup:
 
 
 def build_benchmark_calibration(num_paths: int = 8192, num_factors: int = 5,
-                                seed: int = 314151, mesh=None
+                                seed: int = 314151, mesh=None,
+                                antithetic: bool = False
                                 ) -> BenchmarkCalibrationSetup:
     fc = ForwardCurveFromForwards(FIXING_TIMES, FORWARD_RATES, DT)
     dc = DiscountCurveFromForwardCurve(fc, horizon=50.0)
@@ -319,7 +322,8 @@ def build_benchmark_calibration(num_paths: int = 8192, num_factors: int = 5,
     # segmented scan mode: the multistart calibration evaluates these
     # programs hundreds of times — warm runtime beats compile time here
     engine = LMMValuationEngine(model, products, num_paths, num_factors,
-                                seed, mesh=mesh, scan_mode="segmented")
+                                seed, mesh=mesh, scan_mode="segmented",
+                                antithetic=antithetic)
     return BenchmarkCalibrationSetup(
         engine=engine, model=model, covariance=covariance, products=products
     )

@@ -241,7 +241,7 @@ class LMMValuationEngine:
                  num_paths: int, num_factors: int, seed: int = 31415,
                  mesh=None, path_axis: str = "paths",
                  scheme: str = "euler", dtype=None,
-                 scan_mode: str = "fused"):
+                 scan_mode: str = "fused", antithetic: bool = False):
         """``mesh``: optional jax.sharding.Mesh — Monte-Carlo paths are then
         data-parallel over its ``path_axis``: each device folds its own RNG
         key, simulates num_paths/n_devices paths locally, and every
@@ -270,6 +270,13 @@ class LMMValuationEngine:
         if scheme not in ("euler", "predictor_corrector"):
             raise ValueError(f"unknown scheme {scheme}")
         self.scheme = scheme  # finmath EulerSchemeFromProcessModel schemes
+        #: antithetic variates: paths/2 independent Brownian draws plus
+        #: their mirror images — same step cost, half the RNG work, and
+        #: the odd-moment component of the Monte-Carlo error cancels
+        #: pathwise (variance reduction the reference does not have)
+        self.antithetic = bool(antithetic)
+        if self.antithetic and self.num_paths % 2:
+            raise ValueError("antithetic sampling requires an even num_paths")
         if mesh is not None:
             n_dev = int(np.prod(mesh.devices.shape))
             if self.num_paths % n_dev:
@@ -279,6 +286,9 @@ class LMMValuationEngine:
             self._local_paths = self.num_paths // n_dev
         else:
             self._local_paths = self.num_paths
+        if self.antithetic and self._local_paths % 2:
+            raise ValueError(
+                "antithetic sampling requires an even per-device path count")
 
         n = model.num_libors
         grid_end = model.libor_td.get_last_time()
@@ -525,10 +535,20 @@ class LMMValuationEngine:
             # same Brownian stream as the float32 production engine, so an
             # f32-vs-f64 price comparison isolates arithmetic error from
             # Monte-Carlo noise (the 1e-6 north-star parity contract)
-            dw_all = jax.random.normal(
-                jax.random.fold_in(base_key, s), (n_rng_factors, paths),
-                dtype=jnp.float32,
-            ).astype(dtype) * sqrt_dts[s]
+            if self.antithetic:
+                # antithetic pairs: [z, -z] along the path axis (each
+                # device mirrors its own local block under a mesh)
+                z = jax.random.normal(
+                    jax.random.fold_in(base_key, s),
+                    (n_rng_factors, paths // 2), dtype=jnp.float32,
+                )
+                z = jnp.concatenate([z, -z], axis=1)
+            else:
+                z = jax.random.normal(
+                    jax.random.fold_in(base_key, s), (n_rng_factors, paths),
+                    dtype=jnp.float32,
+                )
+            dw_all = z.astype(dtype) * sqrt_dts[s]
             dw = dw_all[:F]
             # explicit HIGHEST precision: TPU f32 contractions otherwise
             # run as reduced-precision bf16 passes (~1e-4 relative), which
