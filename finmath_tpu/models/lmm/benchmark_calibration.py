@@ -101,7 +101,8 @@ class BenchmarkCalibrationSetup:
 
     def calibrate_multistart(self, target_rms19: float = None,
                              max_starts: int = 8, rng_seed: int = 123,
-                             max_nfev: int = 250) -> LMResult:
+                             max_nfev: int = 250,
+                             sweep_mode: str = "sequential") -> LMResult:
         """Staged global calibration, the TPU-first replacement for the
         reference's single finite-difference LM run.
 
@@ -200,18 +201,45 @@ class BenchmarkCalibrationSetup:
             w[7] = rng.uniform(-0.95, 0.95)    # rho (sign degenerate with nu)
             starts.append(w)
 
-        # quick sweep on the REDUCED-path engine: capped trust-region pass
-        # per start locates the basins at a quarter of the cost
+        # quick sweep on the REDUCED-path engine to locate the basins at a
+        # quarter of the path cost. "sequential" (default): one capped
+        # trust-region run per start (scipy trf) — per-start early
+        # stopping wins on this workload. "batched": all starts descend in
+        # LOCKSTEP via BatchedLevenbergMarquardt — each iteration is ONE
+        # vmapped residual batch + ONE vmapped Jacobian batch for every
+        # start. Measured head-to-head at 81,920 paths (same process, same
+        # optimum found): the batched residual call IS ~6x cheaper than 8
+        # sequential calls (44.6 ms vs 8 x 34 ms — dispatch-bound), but the
+        # vmapped jacfwd is compute-bound (329 ms vs 8 x 56 ms) and the
+        # lockstep scheduler cannot stop per-start early the way the trust
+        # region does, so end-to-end the sequential sweep stays faster
+        # (22.8 s vs 27.6 s multistart wall). Kept as an option: with a
+        # locally-attached TPU (sub-ms dispatch instead of this tunnel's
+        # ~30 ms RTT) the trade-off shifts toward "batched".
         candidates = []
         total_nfev = int(r5.nfev)
-        for s in starts:
-            try:
-                r = least_squares(sfun, s, jac=sjac, method="trf",
-                                  x_scale="jac", max_nfev=40)
-            except Exception:
-                continue
-            total_nfev += int(r.nfev)
-            candidates.append(r.x)
+        if sweep_mode == "batched":
+            from ..calibration import BatchedLevenbergMarquardt
+
+            blm = BatchedLevenbergMarquardt(
+                sweep_eng.residuals_batched, sweep_eng.jacobian_batched,
+                lambda0=0.1, max_iterations=40, accuracy=1e-10,
+                lower_bound=-np.inf)
+            for r in blm.run(np.stack(starts)):
+                total_nfev += 2 * r.iterations
+                if np.all(np.isfinite(r.parameters)):
+                    candidates.append(r.parameters)
+        elif sweep_mode == "sequential":
+            for s in starts:
+                try:
+                    r = least_squares(sfun, s, jac=sjac, method="trf",
+                                      x_scale="jac", max_nfev=40)
+                except Exception:
+                    continue
+                total_nfev += int(r.nfev)
+                candidates.append(r.x)
+        else:
+            raise ValueError(f"unknown sweep_mode {sweep_mode!r}")
 
         # rank every candidate (sweep endpoints + the raw curated basins +
         # stage 1) by ONE full-path residual each — the heavy-tailed

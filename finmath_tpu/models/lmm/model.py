@@ -811,6 +811,33 @@ class LMMValuationEngine:
     def jacobian(self, params) -> np.ndarray:
         return np.asarray(self._jac_fn(jnp.asarray(params, dtype=jnp.float64)))
 
+    # ------------------------------------------------------------------
+    # batched (multi-start) evaluation: ONE device program evaluates the
+    # residual vector / Jacobian for K parameter vectors at once (vmap
+    # over the leading axis). Used by BatchedLevenbergMarquardt to run a
+    # whole multistart sweep in lockstep — K-fold fewer dispatches and
+    # K-fold larger programs for the TPU to chew on. Built lazily: most
+    # engines never pay the extra compile.
+    def _ensure_batched(self):
+        if getattr(self, "_residual_batched_fn", None) is None:
+            base = self._build_residual_fn()
+            self._residual_batched_fn = jax.jit(
+                self._shard(jax.vmap(base)))
+            self._jac_batched_fn = jax.jit(
+                self._shard(jax.vmap(jax.jacfwd(base))))
+
+    def residuals_batched(self, params_batch) -> np.ndarray:
+        """Residuals for a [K, n_params] batch -> [K, n_products]."""
+        self._ensure_batched()
+        return np.asarray(self._residual_batched_fn(
+            jnp.asarray(params_batch, dtype=jnp.float64)))
+
+    def jacobian_batched(self, params_batch) -> np.ndarray:
+        """Jacobians for a [K, n_params] batch -> [K, n_products, n_params]."""
+        self._ensure_batched()
+        return np.asarray(self._jac_batched_fn(
+            jnp.asarray(params_batch, dtype=jnp.float64)))
+
     @property
     def targets(self) -> np.ndarray:
         return np.asarray(self._target)

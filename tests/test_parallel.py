@@ -83,6 +83,18 @@ class TestShardedLMM:
         assert np.max(np.abs(r_sh - r_un)) < 2e-3
         assert np.array_equal(r_sh, sharded.residuals(p0))  # deterministic
 
+    def test_batched_residuals_under_mesh(self, engines):
+        """vmapped multistart evaluation composes with the shard_map
+        path sharding (each start still psums over the mesh)."""
+        setup, sharded = engines
+        p0 = np.asarray(setup.covariance.initial_parameters)
+        X = np.stack([p0, p0 * 1.05])
+        R = sharded.residuals_batched(X)
+        np.testing.assert_allclose(R[0], sharded.residuals(p0),
+                                   rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(R[1], sharded.residuals(p0 * 1.05),
+                                   rtol=1e-6, atol=1e-9)
+
     def test_indivisible_paths_rejected(self, mesh):
         from finmath_tpu.models.lmm.atm_calibration import build_atm_calibration
         from finmath_tpu.models.lmm.model import LMMValuationEngine
