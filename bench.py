@@ -314,6 +314,87 @@ def bench_bermudan():
             "value": round(v, 6)}
 
 
+def bench_lmm_pricer_kernels():
+    """VMEM-resident Pallas path kernels vs the XLA scan engine, pricing a
+    single swaption at 409,600 paths (the fast-revaluation path of a
+    calibrated model). Two configurations: the one-factor ATM model
+    (ops/lmm_kernel.py) and the 5-factor stoch-vol benchmark model
+    (ops/lmm_stochvol_kernel.py)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from finmath_tpu.models.lmm.atm_calibration import build_atm_calibration
+    from finmath_tpu.models.lmm.benchmark_calibration import (
+        build_benchmark_calibration,
+    )
+    from finmath_tpu.models.lmm.model import LMMValuationEngine, SwaptionProduct
+    from finmath_tpu.ops.lmm_kernel import lmm_swaption_kernel
+    from finmath_tpu.ops.lmm_stochvol_kernel import lmm_stochvol_swaption_kernel
+
+    PATHS = 409_600
+    out = {"paths": PATHS}
+
+    def best_of(f, reps=5):
+        f()  # warm
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            v = float(f())  # float() blocks on the async device result
+            ts.append(time.perf_counter() - t0)
+        return v, min(ts)
+
+    # ---- one-factor ATM configuration (5Y x 10Y ATM swaption) ----------
+    a = build_atm_calibration(num_paths=256, num_factors=1)
+    cov = a.model.covariance
+    p0 = np.asarray(cov.initial_parameters)
+    prep = cov.prepare(jnp.asarray(p0))
+    vol_table = np.asarray(cov.vol_table(prep)) * np.asarray(
+        cov.factor_matrix(prep))[:, 0][None, :]
+    e, periods = 10, 20
+    strike = next(p.strike for p in a.products
+                  if p.exercise_index == e and p.num_periods == periods)
+    eng1 = LMMValuationEngine(
+        a.model, [SwaptionProduct(e, periods, strike, 0.0, value_unit="VALUE")],
+        PATHS, 1, 99, scan_mode="segmented")
+    v_eng, t_eng = best_of(lambda: eng1.values(p0)[0])
+    v_k, t_k = best_of(lambda: lmm_swaption_kernel(
+        7, PATHS, a.model.num_libors, e, periods, e, vol_table,
+        np.asarray(a.model.initial_forwards), np.asarray(a.model.deltas),
+        0.5, strike))
+    out["atm_1f"] = {
+        "engine_ms": round(t_eng * 1000, 2), "kernel_ms": round(t_k * 1000, 2),
+        "speedup": round(t_eng / t_k, 2),
+        "rel_dev": round(abs(v_k - v_eng) / abs(v_eng), 5),
+    }
+
+    # ---- stoch-vol benchmark configuration (5 factors + V process) -----
+    b = build_benchmark_calibration(num_paths=256)
+    cov = b.model.covariance
+    p0 = np.asarray(cov.initial_parameters)
+    prep = cov.prepare(jnp.asarray(p0))
+    vol_table = np.asarray(cov.vol_table(prep))
+    R = np.asarray(cov.factor_matrix(prep))
+    nu, rho = [float(np.asarray(x)) for x in cov.stoch_vol_params(prep)]
+    strike = next(p.strike for p in b.products if p.exercise_index == e
+                  and abs(p.strike - b.engine._fwd0[
+                      b.engine.products.index(p)]) < 1e-10)
+    eng5 = LMMValuationEngine(
+        b.model, [SwaptionProduct(e, periods, strike, 0.0, value_unit="VALUE")],
+        PATHS, R.shape[1], 99, scan_mode="segmented")
+    v_eng, t_eng = best_of(lambda: eng5.values(p0)[0])
+    v_k, t_k = best_of(lambda: lmm_stochvol_swaption_kernel(
+        7, PATHS, b.model.num_libors, R.shape[1], e, periods, e, vol_table,
+        R, np.asarray(b.model.initial_forwards), np.asarray(b.model.deltas),
+        0.5, strike, float(p0[5]), nu, rho))
+    out["stochvol_5f"] = {
+        "engine_ms": round(t_eng * 1000, 2), "kernel_ms": round(t_k * 1000, 2),
+        "speedup": round(t_eng / t_k, 2),
+        "rel_dev": round(abs(v_k - v_eng) / abs(v_eng), 5),
+    }
+    return out
+
+
 def bench_parity_1e6():
     """North-star parity on the real device: f32 production prices vs the
     f64 oracle mode on the identical Brownian stream (1e-6 relative,
@@ -376,6 +457,10 @@ def main():
         result["detail"]["parity_1e6"] = bench_parity_1e6()
     except Exception as exc:
         result["detail"]["parity_1e6_error"] = str(exc)
+    try:
+        result["detail"]["lmm_pricer_kernels_409600"] = bench_lmm_pricer_kernels()
+    except Exception as exc:
+        result["detail"]["lmm_pricer_kernels_error"] = str(exc)
     try:
         result["detail"]["eager_ops_100k"] = bench_eager_ops()
     except Exception as exc:

@@ -5,6 +5,11 @@ from .brownian_motion import (
     BrownianMotionTPUWithHostRandomVariable,
     BrownianMotionView,
 )
+from .calibration import (
+    BatchedLevenbergMarquardt,
+    LevenbergMarquardt,
+    LMResult,
+)
 
 __all__ = [
     "TimeDiscretization",
@@ -12,4 +17,7 @@ __all__ = [
     "BrownianMotionHostRandom",
     "BrownianMotionTPUWithHostRandomVariable",
     "BrownianMotionView",
+    "BatchedLevenbergMarquardt",
+    "LevenbergMarquardt",
+    "LMResult",
 ]

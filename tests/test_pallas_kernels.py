@@ -210,3 +210,76 @@ class TestLMMPathKernelArithmeticCI:
             lmm_swaption_kernel_with_normals.clear_cache()
         # f32 kernel vs f64 NumPy on identical normals: only rounding left
         assert v == pytest.approx(ref, rel=2e-5)
+
+
+class TestStochVolKernelArithmeticCI:
+    """CI validation of the stoch-vol multi-factor kernel (blended local
+    vol + lognormal V process) on injected normals vs a NumPy reference
+    of the same discretization."""
+
+    @staticmethod
+    def _numpy_reference(z, vol_table, R, l0, deltas, dt, e, periods, K,
+                         blend, nu, rho):
+        rows, paths = z.shape
+        n, F = R.shape
+        S = rows // (F + 1)
+        L = np.tile(np.asarray(l0, np.float64)[:, None], (1, paths))
+        L0 = L.copy()
+        N = np.ones(paths)
+        V = np.ones(paths)
+        for s in range(S):
+            zs = [z[s * (F + 1) + f] for f in range(F + 1)]
+            N = N * (1.0 + dt * L[s])
+            alive = (np.arange(n) >= s + 1)[:, None]
+            lf = ((1.0 - blend) * L + blend * L0) * np.sqrt(V)[None, :]
+            mt = deltas[:, None] / (1.0 + deltas[:, None] * L)
+            mu = np.zeros_like(L)
+            diff = np.zeros_like(L)
+            for f in range(F):
+                base = np.where(alive, (vol_table[s] * R[:, f])[:, None], 0.0)
+                lam = base * lf
+                mu += lam * np.cumsum(mt * lam, axis=0)
+                diff += lam * (np.sqrt(dt) * zs[f][None, :])
+            L = L + mu * dt + diff
+            dw_v = np.sqrt(dt) * (rho * zs[0] + np.sqrt(1 - rho**2) * zs[F])
+            V = V * np.exp(nu * dw_v - 0.5 * nu * nu * dt)
+        in_swap = (np.arange(n) >= e) & (np.arange(n) < e + periods)
+        r = np.where(in_swap[:, None], 1.0 / (1.0 + deltas[:, None] * L), 1.0)
+        cp = np.cumprod(r, axis=0)
+        ann = np.sum(np.where(in_swap[:, None], cp * deltas[:, None], 0.0),
+                     axis=0)
+        payoff = np.maximum(1.0 - cp[e + periods - 1] - K * ann, 0.0)
+        return float(np.mean(payoff / N))
+
+    def test_kernel_matches_numpy_on_injected_normals(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from finmath_tpu.ops.lmm_stochvol_kernel import (
+            lmm_stochvol_swaption_kernel_with_normals,
+        )
+
+        rng = np.random.default_rng(17)
+        n, F, dt, S, paths = 16, 3, 0.5, 6, 384
+        e, periods, K = 6, 8, 0.024
+        blend, nu, rho = 0.7, 0.4, -0.3
+        t = np.arange(S) * dt
+        T = np.arange(n) * dt
+        vol_table = np.where(T[None, :] > t[:, None], 0.011, 0.0)
+        # a well-conditioned orthonormal-ish factor matrix
+        A = rng.standard_normal((n, F))
+        R = A / np.linalg.norm(A, axis=1, keepdims=True)
+        l0 = np.full(n, 0.024)
+        deltas = np.full(n, dt)
+        z = rng.standard_normal((S * (F + 1), paths)).astype(np.float32)
+
+        ref = self._numpy_reference(z.astype(np.float64), vol_table, R, l0,
+                                    deltas, dt, e, periods, K, blend, nu, rho)
+        lmm_stochvol_swaption_kernel_with_normals.clear_cache()
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                v = float(lmm_stochvol_swaption_kernel_with_normals(
+                    z, n, F, e, periods, vol_table.astype(np.float32),
+                    R.astype(np.float32), l0, deltas, dt, K, blend, nu, rho))
+        finally:
+            lmm_stochvol_swaption_kernel_with_normals.clear_cache()
+        assert v == pytest.approx(ref, rel=5e-5)
