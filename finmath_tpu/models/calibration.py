@@ -167,17 +167,22 @@ class BatchedLevenbergMarquardt:
             nan=1e3, posinf=1e3, neginf=-1e3)
         err = np.sqrt(np.mean(R * R, axis=1))                  # [K]
         lam = np.full(K, self.lambda0)
-        done = err < self.accuracy
+        converged = err < self.accuracy      # reached the accuracy contract
+        done = converged.copy()              # retired slots (incl. give-ups)
         iters = np.zeros(K, dtype=int)
         rejects = np.zeros(K, dtype=int)
         eye = np.eye(n)
+        J = None                             # reused across all-reject rounds
 
         for _ in range(self.max_iterations):
             if done.all():
                 break
-            J = np.nan_to_num(
-                np.asarray(self.jacobian_batched(X), dtype=np.float64),
-                nan=0.0, posinf=0.0, neginf=0.0)               # [K, P, n]
+            if J is None:
+                # X is unchanged after a round with zero accepted steps, so
+                # the (dominant-cost) batched Jacobian is unchanged too
+                J = np.nan_to_num(
+                    np.asarray(self.jacobian_batched(X), dtype=np.float64),
+                    nan=0.0, posinf=0.0, neginf=0.0)           # [K, P, n]
             X_trial = X.copy()
             solvable = np.zeros(K, dtype=bool)
             for k in range(K):
@@ -189,17 +194,21 @@ class BatchedLevenbergMarquardt:
                     delta = np.linalg.solve(jtj + lam[k] * eye, -J[k].T @ R[k])
                 except np.linalg.LinAlgError:
                     lam[k] *= self.lambda_multiplicator
+                    rejects[k] += 1
+                    if lam[k] > self.max_lambda or \
+                            rejects[k] >= self.reject_patience:
+                        done[k] = True       # gave up; NOT converged
                     continue
                 X_trial[k] = np.clip(X[k] + delta,
                                      self.lower_bound, self.upper_bound)
                 solvable[k] = True
             if not solvable.any():
-                done |= lam > self.max_lambda
                 continue
             R_trial = np.nan_to_num(
                 np.asarray(self.residuals_batched(X_trial), dtype=np.float64),
                 nan=1e3, posinf=1e3, neginf=-1e3)
             err_trial = np.sqrt(np.mean(R_trial * R_trial, axis=1))
+            any_accept = False
             for k in range(K):
                 if done[k] or not solvable[k]:
                     continue
@@ -208,17 +217,21 @@ class BatchedLevenbergMarquardt:
                     X[k], R[k], err[k] = X_trial[k], R_trial[k], err_trial[k]
                     lam[k] = max(lam[k] / self.lambda_divisor, 1e-12)
                     rejects[k] = 0
+                    any_accept = True
                     if improvement < self.accuracy or err[k] < self.accuracy:
+                        converged[k] = True
                         done[k] = True
                 else:
                     lam[k] *= self.lambda_multiplicator
                     rejects[k] += 1
                     if lam[k] > self.max_lambda or \
                             rejects[k] >= self.reject_patience:
-                        done[k] = True
+                        done[k] = True       # gave up; NOT converged
+            if any_accept:
+                J = None                     # X moved: recompute next round
 
         return [LMResult(parameters=X[k], rms_error=float(err[k]),
                          iterations=int(iters[k]),
-                         converged=bool(done[k]), lambda_final=float(lam[k]),
-                         history=[])
+                         converged=bool(converged[k] or err[k] < self.accuracy),
+                         lambda_final=float(lam[k]), history=[])
                 for k in range(K)]

@@ -37,4 +37,5 @@ __all__ = [
     "BermudanSwaption",
     "BermudanSwaptionPricer",
     "CapFloor",
+    "eager_swaption_valuation",
 ]

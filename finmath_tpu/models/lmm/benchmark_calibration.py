@@ -79,11 +79,16 @@ class BenchmarkCalibrationSetup:
             # never LARGER than the main engine (the 8192 floor would
             # invert the cost model for small setups), same mesh/dtype
             paths = min(eng.num_paths, max(eng.num_paths // 4, 8_192))
+            # round DOWN to the engine's divisibility unit: per-device path
+            # blocks, each even under antithetic mirroring (the main engine
+            # satisfies both, so unit <= eng.num_paths always leaves
+            # paths >= unit)
+            unit = 1
             if eng.mesh is not None:
-                n_dev = int(np.prod(eng.mesh.devices.shape))
-                paths = max(paths - paths % n_dev, n_dev)
+                unit = int(np.prod(eng.mesh.devices.shape))
             if eng.antithetic:
-                paths -= paths % 2
+                unit *= 2
+            paths = max(paths - paths % unit, unit)
             self._sweep_engine = LMMValuationEngine(
                 self.model, list(eng.products), paths, eng.num_factors,
                 eng.seed, mesh=eng.mesh, dtype=eng.dtype,

@@ -66,6 +66,10 @@ def eager_swaption_valuation(factory, initial_forwards: Sequence[float],
     e = int(exercise_index)
     if not (1 <= e and e + num_periods <= n):
         raise ValueError("swaption does not fit on the tenor grid")
+    inc_shape = np.shape(increments)
+    if len(inc_shape) != 2 or inc_shape[0] < e:
+        raise ValueError(
+            f"increments must be [steps >= {e}, paths], got shape {inc_shape}")
     deltas = [float(d) for d in deltas]
     tenor = np.concatenate([[0.0], np.cumsum(deltas)])
 

@@ -32,6 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .kernels import _draw_normal_pair
+from .lmm_kernel import _prefix_scan
 from .random_variable import ACC_DTYPE
 
 _LANES = 128
@@ -40,21 +41,11 @@ _DRAW = (8, _LANES)               # one PRNG draw pair yields 16 z-rows
 
 def _prefix_sum(x, n):
     """Hillis-Steele inclusive prefix sum along the sublane axis."""
-    shift = 1
-    while shift < n:
-        x = x + jnp.concatenate(
-            [jnp.zeros_like(x[:shift]), x[:-shift]], axis=0)
-        shift *= 2
-    return x
+    return _prefix_scan(x, n, jnp.add, 0.0)
 
 
 def _prefix_prod(x, n):
-    shift = 1
-    while shift < n:
-        x = x * jnp.concatenate(
-            [jnp.ones_like(x[:shift]), x[:-shift]], axis=0)
-        shift *= 2
-    return x
+    return _prefix_scan(x, n, jnp.multiply, 1.0)
 
 
 def _sv_kernel(seed_ref, scal_ref, volT_ref, l0_ref, delta_ref, out_ref, *,

@@ -84,6 +84,43 @@ class TestSyntheticProblem:
             blm.run(np.asarray([1.0, 1.0, 0.0]))
 
 
+class TestRetirementSemantics:
+    """A start that gives up (reject patience / damping ceiling) must NOT
+    report converged=True, and must not burn batched Jacobian evaluations
+    while it idles (X unchanged => J unchanged => reuse)."""
+
+    def test_stuck_start_not_converged_and_jacobian_reused(self):
+        calls = {"jac": 0, "res": 0}
+
+        # residuals independent of x: no step can ever improve
+        def residuals(X):
+            calls["res"] += 1
+            return np.ones((np.atleast_2d(X).shape[0], 4))
+
+        def jacobian(X):
+            calls["jac"] += 1
+            K = np.atleast_2d(X).shape[0]
+            return np.tile(np.eye(4)[:, :2], (K, 1, 1))
+
+        blm = BatchedLevenbergMarquardt(residuals, jacobian,
+                                        max_iterations=40, accuracy=1e-12,
+                                        reject_patience=5)
+        r = blm.run(np.zeros((2, 2)))
+        assert all(not res.converged for res in r)
+        assert all(res.rms_error == pytest.approx(1.0) for res in r)
+        # every round rejects -> X never moves -> ONE Jacobian evaluation
+        assert calls["jac"] == 1
+        # and the loop stops at the patience, not max_iterations
+        assert all(res.iterations <= 5 for res in r)
+
+    def test_converging_start_reports_converged(self):
+        t = TestSyntheticProblem
+        blm = BatchedLevenbergMarquardt(t._residuals, t._jacobian,
+                                        max_iterations=100, accuracy=1e-12)
+        r = blm.run(np.asarray([[1.0, 1.0, 0.0]]))[0]
+        assert r.converged and r.rms_error < 1e-7
+
+
 class TestEngineBatched:
     def test_batched_matches_single(self):
         """vmapped residuals/Jacobian must equal per-vector evaluation."""
