@@ -517,8 +517,18 @@ class LMMValuationEngine:
 
         def evolve(L, mu, diffusion, dt, alive):
             if lognormal:
-                return jnp.where(alive, L * jnp.exp(mu * dt + diffusion), L)
-            return jnp.where(alive, L + mu * dt + diffusion, L)
+                L_new = jnp.where(alive, L * jnp.exp(mu * dt + diffusion), L)
+            else:
+                L_new = jnp.where(alive, L + mu * dt + diffusion, L)
+            # float32 overflow guard: under heavy-tailed stochastic vol a
+            # ~5-sigma path can push |L| past f32 range within a few steps
+            # (lam ~ vol * L * sqrt(V)), turning the WHOLE Monte-Carlo mean
+            # into NaN via inf - inf. The reference runs in double and gets
+            # huge-but-finite values on such paths; rates beyond +-1000
+            # (100,000%) carry no price information either way, so clamp —
+            # exactly identity for every sane path, and the clip gradient
+            # is zero only on the insane ones.
+            return jnp.clip(L_new, -1e3, 1e3)
 
         predictor_corrector = self.scheme == "predictor_corrector"
 
@@ -577,6 +587,10 @@ class LMMValuationEngine:
                     V = V * jnp.exp(nu * dw_v - 0.5 * nu * nu * dts[s])
                 else:
                     V = V * jnp.exp(nu * dw_v)
+                # same f32 overflow guard as the forwards: cap the scaling
+                # process (sqrt(1e6) = 1000x vol on a single path is far
+                # beyond any price-relevant regime)
+                V = jnp.minimum(V, 1e6)
             return (L_new, N, V)
 
         L = L0_b
@@ -713,8 +727,16 @@ class LMMValuationEngine:
             p_end = cp[ev_end_idx[ev]]                            # [P_max, paths]
             payoff = jnp.maximum(
                 1.0 - p_end - ev_strikes[ev][:, None] * ann, 0.0)
-            raw = jnp.sum(payoff.astype(ACC_DTYPE) * inv_n[None, :], axis=-1)
-            return raw, jnp.sum(inv_n)
+            # a pathwise contribution can exceed float range when the
+            # simulation left the price-relevant regime (optimizer
+            # excursions to huge vols; the f64 reference returns equally
+            # meaningless magnitudes there) — drop it instead of letting
+            # one inf/NaN path poison the whole expectation
+            contrib = payoff.astype(ACC_DTYPE) * inv_n[None, :]
+            raw = jnp.sum(jnp.where(jnp.isfinite(contrib), contrib, 0.0),
+                          axis=-1)
+            inv_safe = jnp.where(jnp.isfinite(inv_n), inv_n, 0.0)
+            return raw, jnp.sum(inv_safe)
 
         raw_steps, inv_steps = self._simulate_collect(params, collect)
         # gather each product's own event (by sim step in fused mode, by
@@ -750,8 +772,11 @@ class LMMValuationEngine:
         def values(params):
             raw, mean_inv = self._simulate_and_value(params)
             if model.use_numeraire_adjustment:
-                # deterministic numeraire control: E[N(0)/N(T_e)] -> df(T_e)
-                return raw * (df_ex / mean_inv)
+                # deterministic numeraire control: E[N(0)/N(T_e)] -> df(T_e).
+                # mean_inv collapses to exactly 0 only when EVERY path's
+                # numeraire left float range (absurd parameter regimes);
+                # raw is 0 there too, so the value is 0 — guard the 0 * inf
+                return raw * jnp.where(mean_inv > 0.0, df_ex / mean_inv, 0.0)
             return raw
 
         return values

@@ -104,11 +104,16 @@ def _sv_kernel(seed_ref, scal_ref, volT_ref, l0_ref, delta_ref, out_ref, *,
             lam = base * lf                                  # [n, 128]
             mu = mu + lam * _prefix_sum(mt * lam, n)
             diffusion = diffusion + lam * (sqrt_dt * zs[f])
-        L = L + mu * dt + diffusion
+        # f32 overflow guard on tail paths (same bounds as the scan
+        # engine's evolve/V clamps — identity for every sane path)
+        L = jnp.clip(L + mu * dt + diffusion,
+                     jnp.float32(-1e3), jnp.float32(1e3))
         # lognormal variance step (martingale-corrected), driver correlated
         # with factor 0 — used from the NEXT step on, like the scan engine
         dw_v = sqrt_dt * (rho * zs[0] + somega * zs[F])
-        V = V * jnp.exp(nu * dw_v - jnp.float32(0.5) * nu * nu * dt)
+        V = jnp.minimum(
+            V * jnp.exp(nu * dw_v - jnp.float32(0.5) * nu * nu * dt),
+            jnp.float32(1e6))
 
     # payoff at T_exercise
     in_swap = jnp.logical_and(iota >= exercise, iota < exercise + periods)

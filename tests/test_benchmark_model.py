@@ -116,6 +116,39 @@ class TestAntithetic:
                                1023, 5, 1, antithetic=True)
 
 
+class TestOverflowGuard:
+    def test_extreme_stochvol_stays_finite(self, bench_setup):
+        """Heavy-tailed regimes (|nu| ~ 1.5, the calibrated basin) can push
+        a tail path past float32 range and poison the WHOLE mean with NaN
+        via inf - inf; the engine clamps L and V to price-irrelevant
+        finite bands. Regression for the NaN observed at 81,920 paths on
+        fresh seeds (BENCHMARKS.md round-2 robustness note)."""
+        from finmath_tpu.models.lmm.model import LMMValuationEngine
+
+        p = np.asarray(bench_setup.covariance.initial_parameters).copy()
+        p[6] = 3.0    # nu: extreme vol-of-vol
+        p[5] = 1.5    # blend > 1
+        for seed in (1, 2):
+            eng = LMMValuationEngine(bench_setup.model, bench_setup.products,
+                                     4096, 5, seed)
+            v = eng.values(p)
+            assert np.all(np.isfinite(v)), f"non-finite values at seed {seed}"
+            assert np.all(np.isfinite(eng.implied_vols(p)))
+
+    def test_absurd_vol_parameters_stay_finite(self):
+        """Deterministic repro: all 43 ATM vol parameters at 50 (5000%)
+        explode the unguarded f32 simulation through the drift within a
+        few steps; with the guards every value and implied vol is finite
+        (values collapse toward 0 where the numeraire overflows)."""
+        from finmath_tpu.models.lmm.atm_calibration import build_atm_calibration
+
+        setup = build_atm_calibration(num_paths=512, num_factors=1)
+        p = np.full(setup.covariance.n_params, 50.0)
+        v = setup.engine.values(p)
+        assert np.all(np.isfinite(v))
+        assert np.all(np.isfinite(setup.engine.implied_vols(p)))
+
+
 class TestAnalyticApproximation:
     def test_analytic_calibration_fast_and_accurate(self):
         setup = build_atm_calibration(calibration_product_type="ANALYTIC")

@@ -283,3 +283,40 @@ class TestStochVolKernelArithmeticCI:
         finally:
             lmm_stochvol_swaption_kernel_with_normals.clear_cache()
         assert v == pytest.approx(ref, rel=5e-5)
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="needs real TPU hardware PRNG")
+class TestStochVolKernelOnTPU:
+    def test_matches_scan_engine_price(self):
+        """Kernel price vs the stoch-vol scan engine within MC error
+        (different RNG streams -> statistical agreement only). Measured
+        rel dev at 409,600 paths: ~0.4% (BENCHMARKS.md)."""
+        import jax.numpy as jnp
+
+        from finmath_tpu.models.lmm.benchmark_calibration import (
+            build_benchmark_calibration,
+        )
+        from finmath_tpu.models.lmm.model import (LMMValuationEngine,
+                                                  SwaptionProduct)
+        from finmath_tpu.ops.lmm_stochvol_kernel import (
+            lmm_stochvol_swaption_kernel,
+        )
+
+        PATHS = 204_800
+        setup = build_benchmark_calibration(num_paths=256)
+        cov = setup.model.covariance
+        p0 = np.asarray(cov.initial_parameters)
+        prep = cov.prepare(jnp.asarray(p0))
+        nu, rho = [float(np.asarray(x)) for x in cov.stoch_vol_params(prep)]
+        e, periods, strike = 10, 20, 0.0263
+        eng = LMMValuationEngine(
+            setup.model,
+            [SwaptionProduct(e, periods, strike, 0.0, value_unit="VALUE")],
+            PATHS, 5, 99)
+        v_eng = float(eng.values(p0)[0])
+        v_k = float(lmm_stochvol_swaption_kernel(
+            7, PATHS, setup.model.num_libors, 5, e, periods, e,
+            np.asarray(cov.vol_table(prep)), np.asarray(cov.factor_matrix(prep)),
+            np.asarray(setup.model.initial_forwards),
+            np.asarray(setup.model.deltas), 0.5, strike, float(p0[5]), nu, rho))
+        assert v_k == pytest.approx(v_eng, rel=0.02)
