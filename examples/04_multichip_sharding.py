@@ -1,23 +1,31 @@
 """Path-axis data parallelism over a device mesh.
 
-Run (no multi-chip hardware needed — 8 virtual CPU devices):
-  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-      python examples/04_multichip_sharding.py
+Run (no multi-chip hardware needed):
+  python examples/04_multichip_sharding.py        # 8 virtual CPU devices
 
-On a real pod slice, drop the env vars: the same code shards the
-Monte-Carlo path axis over the mesh, each device folds its own RNG key,
-expectations are a local f64 sum + psum over ICI, and gradients flow
-through the collective (the reference is single-device; SURVEY.md §2/§5).
+On a real pod slice, run with JAX_PLATFORMS=tpu: any explicitly set
+platform is respected, and the same code shards the Monte-Carlo path
+axis over the mesh — each device folds its own RNG key, expectations
+are a local f64 sum + psum over ICI, and gradients flow through the
+collective (the reference is single-device; SURVEY.md §2/§5).
 """
 
 import os
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+if "JAX_PLATFORMS" not in os.environ:
+    # default demo mode: 8 virtual CPU devices
+    xla_flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in xla_flags:
+        os.environ["XLA_FLAGS"] = (
+            xla_flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
 
-import jax
-
-jax.config.update("jax_platforms", "cpu")
+    # some platform plugins win auto-selection over a late env default;
+    # pin through jax.config as well
+    jax.config.update("jax_platforms", "cpu")
+else:
+    import jax
 
 import numpy as np
 from jax.sharding import Mesh

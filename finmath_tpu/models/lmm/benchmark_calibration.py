@@ -197,7 +197,9 @@ class BenchmarkCalibrationSetup:
                         0.11696195, -0.07899034, 1.10394829, -0.60141384]),
         ]
         rng = np.random.default_rng(rng_seed)
-        starts = [stage1] + curated + [x0]
+        # honor max_starts even below the 5 deterministic starts: keep them
+        # in priority order (stage1, curated basins, x0)
+        starts = ([stage1] + curated + [x0])[:max_starts]
         while len(starts) < max_starts:
             w = stage1.copy()
             w[:5] *= rng.uniform(0.5, 2.0, 5)
@@ -316,7 +318,8 @@ class BenchmarkCalibrationSetup:
 
 def build_benchmark_calibration(num_paths: int = 8192, num_factors: int = 5,
                                 seed: int = 314151, mesh=None,
-                                antithetic: bool = False
+                                antithetic: bool = False,
+                                dtype=None,
                                 ) -> BenchmarkCalibrationSetup:
     fc = ForwardCurveFromForwards(FIXING_TIMES, FORWARD_RATES, DT)
     dc = DiscountCurveFromForwardCurve(fc, horizon=50.0)
@@ -356,7 +359,7 @@ def build_benchmark_calibration(num_paths: int = 8192, num_factors: int = 5,
     # programs hundreds of times — warm runtime beats compile time here
     engine = LMMValuationEngine(model, products, num_paths, num_factors,
                                 seed, mesh=mesh, scan_mode="segmented",
-                                antithetic=antithetic)
+                                antithetic=antithetic, dtype=dtype)
     return BenchmarkCalibrationSetup(
         engine=engine, model=model, covariance=covariance, products=products
     )

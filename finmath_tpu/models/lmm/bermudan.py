@@ -45,6 +45,15 @@ class BermudanSwaptionPricer:
     def __init__(self, model: LIBORMarketModelTPU, product: BermudanSwaption,
                  num_paths: int, num_factors: int, seed: int = 31415,
                  basis_degree: int = 2):
+        if model.measure != "spot":
+            # the backward induction below discounts every cashflow by the
+            # rolling spot account N(t); under the terminal measure N stays
+            # 1.0 in the simulation and the price would silently come out
+            # undiscounted (missing both the 1/P(T_e,T_n) rebase and the
+            # P(0,T_n) factor)
+            raise NotImplementedError(
+                "BermudanSwaptionPricer supports measure='spot' only; "
+                f"model uses measure={model.measure!r}")
         self.model = model
         self.product = product
         self.num_paths = int(num_paths)

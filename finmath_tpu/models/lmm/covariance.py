@@ -359,7 +359,9 @@ class LIBORCovarianceModelStochasticVolatility(_CovarianceWrapper):
         extra = [nu, rho] if is_calibrateable else []
         super().__init__(base, np.asarray(extra))
         self._fixed = None if is_calibrateable else (float(nu), float(rho))
-        #: loadings are scaled by lambda(t)**scaling_exponent (1.0 = finmath)
+        #: loadings are scaled by V(t)**scaling_exponent; 0.5 (default)
+        #: reproduces the reference model family's fit — see the class
+        #: docstring for the measured 0.46% vs 0.98% RMS comparison
         self.scaling_exponent = float(scaling_exponent)
         #: if False, lambda = exp(nu W) without the -nu^2 t/2 drift
         self.martingale_correction = martingale_correction

@@ -781,26 +781,29 @@ class LMMValuationEngine:
 
         return values
 
-    def _build_residual_fn(self):
-        values_fn = self._build_values_fn()
+    def _quotes_from_values(self, v):
+        """Value-unit dispatch shared by residuals() and implied_vols():
+        Monte-Carlo price -> model quote. Traceable (jnp)."""
+        unit = self.value_unit
+        if unit == "VALUE":
+            return v
         fwd0 = jnp.asarray(self._fwd0)
         ann0 = jnp.asarray(self._ann0)
         strike = jnp.asarray(self._strike)
         texp = jnp.asarray(self._texp)
+        if unit == "VOLATILITYNORMAL":
+            return bachelier_implied_vol_jnp(v, fwd0, strike, texp, ann0)
+        if unit == "VOLATILITYLOGNORMAL":
+            return black_implied_vol_jnp(v, fwd0, strike, texp, ann0)
+        raise ValueError(f"unknown value unit {unit}")
+
+    def _build_residual_fn(self):
+        values_fn = self._build_values_fn()
         target = jnp.asarray(self._target)
         weight = jnp.asarray(self._weight)
-        unit = self.value_unit
 
         def residuals(params):
-            v = values_fn(params)
-            if unit == "VOLATILITYNORMAL":
-                model_quote = bachelier_implied_vol_jnp(v, fwd0, strike, texp, ann0)
-            elif unit == "VOLATILITYLOGNORMAL":
-                model_quote = black_implied_vol_jnp(v, fwd0, strike, texp, ann0)
-            elif unit == "VALUE":
-                model_quote = v
-            else:
-                raise ValueError(f"unknown value unit {unit}")
+            model_quote = self._quotes_from_values(values_fn(params))
             return weight * (model_quote - target)
 
         return residuals
@@ -818,17 +821,7 @@ class LMMValuationEngine:
         a product legitimately de-weighted with weight=0 would turn that
         into 0/0)."""
         v = jnp.asarray(self.values(params))
-        fwd0 = jnp.asarray(self._fwd0)
-        ann0 = jnp.asarray(self._ann0)
-        strike = jnp.asarray(self._strike)
-        texp = jnp.asarray(self._texp)
-        if self.value_unit == "VOLATILITYNORMAL":
-            q = bachelier_implied_vol_jnp(v, fwd0, strike, texp, ann0)
-        elif self.value_unit == "VOLATILITYLOGNORMAL":
-            q = black_implied_vol_jnp(v, fwd0, strike, texp, ann0)
-        else:
-            q = v
-        return np.asarray(q)
+        return np.asarray(self._quotes_from_values(v))
 
     def residuals(self, params) -> np.ndarray:
         return np.asarray(self._residual_fn(jnp.asarray(params, dtype=jnp.float64)))

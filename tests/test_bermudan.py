@@ -63,3 +63,17 @@ class TestBermudanSwaption:
             model, BermudanSwaption((4, 6), 12, 0.01), N_PATHS, 1
         )
         assert pricer.get_value(p0) == pricer.get_value(p0)
+
+    def test_terminal_measure_rejected(self, setup):
+        """The backward induction discounts by the rolling spot account;
+        under the terminal measure N stays 1.0 and the price would come
+        out silently undiscounted — must refuse instead."""
+        from finmath_tpu.models.lmm.model import LIBORMarketModelTPU
+
+        m = setup.model
+        terminal = LIBORMarketModelTPU(
+            m.libor_td, m.forward_curve, m.discount_curve, m.covariance,
+            measure="terminal")
+        with pytest.raises(NotImplementedError, match="spot"):
+            BermudanSwaptionPricer(
+                terminal, BermudanSwaption((4, 6), 12, 0.01), N_PATHS, 1)

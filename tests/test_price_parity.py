@@ -46,8 +46,9 @@ class TestPriceParity1e6:
         )
 
         s32 = build_benchmark_calibration(num_paths=8_192, seed=314151)
-        s64 = build_benchmark_calibration(num_paths=8_192, seed=314151)
-        s64.engine.dtype = np.dtype(np.float64)  # before first trace
+        s64 = build_benchmark_calibration(num_paths=8_192, seed=314151,
+                                          dtype=jnp.float64)
+        assert s64.engine.dtype == np.dtype(np.float64)
         p0 = s32.covariance.initial_parameters
         v32 = np.asarray(s32.engine.values(p0))
         v64 = np.asarray(s64.engine.values(p0))
