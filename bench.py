@@ -44,18 +44,32 @@ def bench_lmm_atm_calibration():
     # the step) on a 5k-path subsample — standard inexact-Jacobian LM,
     # identical converged quality (measured: same 3 iterations, same
     # rms_dev 7.62e-5, mean_dev 1.3e-6 vs 8.8e-7 at 10k; wall 1.21 s vs
-    # 1.63 s)
+    # 1.63 s). Fused scan mode: the calibration converges in ~3 LM
+    # iterations, so the one-time compile dominates cold start — the
+    # fused program compiles 6.3 s vs up to 466 s (segmented) over this
+    # remote-compile tunnel for ~25% warm-runtime cost.
     setup = build_atm_calibration(num_paths=100_000, num_factors=1,
-                                  seed=31415, jacobian_paths=5_000)
+                                  seed=31415, jacobian_paths=5_000,
+                                  scan_mode="fused")
     build_s = time.perf_counter() - t0
 
-    # one-time compilation, untimed (see module docstring for why)
+    # one-time compilation, untimed (see module docstring for why); the
+    # four independent programs compile CONCURRENTLY — the remote compile
+    # service handles parallel requests (measured 35.5 s threaded vs
+    # 497 s serial for the segmented variants, 2026-08-17)
+    import threading
+
     p0 = setup.covariance.initial_parameters
     t0 = time.perf_counter()
-    setup.engine.residuals(p0)
-    (setup.jacobian_engine or setup.engine).jacobian(p0)
-    setup.analytic_engine.residuals(p0)
-    setup.analytic_engine.jacobian(p0)
+    legs = [lambda: setup.engine.residuals(p0),
+            lambda: (setup.jacobian_engine or setup.engine).jacobian(p0),
+            lambda: setup.analytic_engine.residuals(p0),
+            lambda: setup.analytic_engine.jacobian(p0)]
+    threads = [threading.Thread(target=f) for f in legs]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
     compile_s = time.perf_counter() - t0
 
     # the timed region is the complete two-stage calibration procedure:
@@ -136,15 +150,23 @@ def bench_stochvol_calibration(num_paths):
 
     setup = build_benchmark_calibration(num_paths=num_paths, seed=314151)
     # one-time compilation, untimed (same methodology as the headline);
-    # the multistart's reduced-path sweep engine is warmed too
+    # the multistart's reduced-path sweep engine is warmed too. The five
+    # independent programs compile concurrently (see the headline leg).
+    import threading
+
     p0 = setup.covariance.initial_parameters
-    t0 = time.perf_counter()
-    setup.engine.residuals(p0)
-    setup.engine.jacobian(p0)
-    setup.engine.values(p0)      # rms19 target checks go through values()
     sweep = setup.sweep_engine()
-    sweep.residuals(p0)
-    sweep.jacobian(p0)
+    t0 = time.perf_counter()
+    legs = [lambda: setup.engine.residuals(p0),
+            lambda: setup.engine.jacobian(p0),
+            lambda: setup.engine.values(p0),  # rms19 targets go via values()
+            lambda: sweep.residuals(p0),
+            lambda: sweep.jacobian(p0)]
+    threads = [threading.Thread(target=f) for f in legs]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
     compile_s = time.perf_counter() - t0
 
     # wall = time for OUR full procedure to reach (at least) the reference's
@@ -397,6 +419,78 @@ def bench_lmm_pricer_kernels():
     return out
 
 
+def bench_aad_greeks():
+    """BASELINE secondary config: AAD greeks, both framework-native routes
+    — (1) reverse-mode jax.grad through the fused 1M-path MC pricer (the
+    TPU-first replacement for finmath's AAD) and (2) the finmath-style
+    eager tape (RandomVariableDifferentiable, priority-30 dispatch), each
+    cross-checked against the closed-form Black-Scholes delta/vega."""
+    import math
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from finmath_tpu.models.black_scholes import _mc_bs_price_kernel
+    from finmath_tpu.ops.aad import RandomVariableDifferentiable
+    from finmath_tpu.ops.random_variable import RandomVariableTPU
+
+    S0, R, SIGMA, T, K = 1.0, 0.05, 0.30, 1.0, 1.05
+    N_PATHS, N_STEPS = 1_000_000, 100
+
+    def price(s0, sigma):
+        return _mc_bs_price_kernel(jax.random.PRNGKey(7), N_PATHS, N_STEPS,
+                                   jnp.dtype(jnp.float32), s0,
+                                   jnp.float64(R), sigma, jnp.float64(T),
+                                   jnp.float64(K))
+
+    grad_fn = jax.jit(jax.grad(price, argnums=(0, 1)))
+    args = (jnp.float64(S0), jnp.float64(SIGMA))
+    jax.block_until_ready(grad_fn(*args))  # compile
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        d, v = jax.block_until_ready(grad_fn(*args))
+        ts.append(time.perf_counter() - t0)
+
+    d1 = (math.log(S0 / K) + (R + SIGMA ** 2 / 2) * T) / (SIGMA * math.sqrt(T))
+    delta_an = 0.5 * (1.0 + math.erf(d1 / math.sqrt(2.0)))
+    vega_an = S0 * math.exp(-d1 * d1 / 2) / math.sqrt(2 * math.pi) * math.sqrt(T)
+
+    out = {
+        "jax_grad_1m": {"wall_ms": round(min(ts) * 1000, 2),
+                        "delta": round(float(d), 6), "vega": round(float(v), 6)},
+        "analytic": {"delta": round(delta_an, 6), "vega": round(vega_an, 6)},
+    }
+
+    # eager tape AAD: pathwise delta on a pre-drawn terminal growth factor
+    # (the reference's RandomVariableDifferentiableAAD usage shape; the
+    # per-op dispatch pays the tunnel RTT, like eager_ops_100k)
+    z = np.random.default_rng(0).standard_normal(500_000).astype(np.float32)
+    growth = RandomVariableTPU(0.0, np.exp(
+        (R - SIGMA ** 2 / 2) * T + SIGMA * math.sqrt(T) * z).astype(np.float32))
+
+    def tape_delta():
+        s0 = RandomVariableDifferentiable(RandomVariableTPU(0.0, S0))
+        val = s0.mult(growth).sub(K).floor(0.0).mult(
+            math.exp(-R * T)).average()
+        return val.get_gradient([s0])[s0.get_id()].double_value()
+
+    tape_delta()  # warm
+    ts2 = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dt = tape_delta()
+        ts2.append(time.perf_counter() - t0)
+    out["tape_aad_500k"] = {"wall_ms": round(min(ts2) * 1000, 2),
+                            "delta": round(float(dt), 6)}
+    out["agree"] = bool(abs(float(d) - delta_an) < 0.02
+                        and abs(float(v) - vega_an) < 0.05
+                        and abs(float(dt) - delta_an) < 0.02)
+    return out
+
+
 def bench_parity_1e6():
     """North-star parity on the real device: f32 production prices vs the
     f64 oracle mode on the identical Brownian stream (1e-6 relative,
@@ -471,6 +565,10 @@ def main():
         result["detail"]["bermudan_ls_100k"] = bench_bermudan()
     except Exception as exc:
         result["detail"]["bermudan_error"] = str(exc)
+    try:
+        result["detail"]["aad_greeks"] = bench_aad_greeks()
+    except Exception as exc:
+        result["detail"]["aad_greeks_error"] = str(exc)
     print(json.dumps(result))
 
 

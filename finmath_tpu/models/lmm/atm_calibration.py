@@ -154,6 +154,7 @@ def build_atm_calibration(num_paths: int = 10_000, num_factors: int = 1,
                           mesh=None,
                           jacobian_paths: Optional[int] = None,
                           dtype=None,
+                          scan_mode: str = "segmented",
                           ) -> ATMCalibrationSetup:
     """Assemble the full ATM workload (curves -> surface -> products ->
     model -> engine). ``model_type``: NORMAL | DISPLACED (ref. :296-306);
@@ -208,16 +209,18 @@ def build_atm_calibration(num_paths: int = 10_000, num_factors: int = 1,
 
         engine = LMMAnalyticSwaptionEngine(model, products)
     elif calibration_product_type == "MONTECARLO":
-        # segmented scan mode: the calibration loop re-runs these programs
-        # hundreds of times, so the ~25% faster warm runtime beats the
-        # one-time compile saving of the fused mode
+        # scan_mode trade-off: "segmented" runs ~25% faster warm and suits
+        # loops that re-run the compiled programs hundreds of times;
+        # "fused" compiles a much smaller program (measured 6.3 s vs up to
+        # 466 s for the segmented residual over the remote-compile tunnel;
+        # 1.3 s vs 5.5 s local XLA) and suits cold-start-sensitive use
         engine = LMMValuationEngine(model, products, num_paths, num_factors,
                                     seed, mesh=mesh, dtype=dtype,
-                                    scan_mode="segmented")
+                                    scan_mode=scan_mode)
         if jacobian_paths is not None and jacobian_paths < num_paths:
             jacobian_engine = LMMValuationEngine(
                 model, products, jacobian_paths, num_factors, seed, mesh=mesh,
-                dtype=dtype, scan_mode="segmented",
+                dtype=dtype, scan_mode=scan_mode,
             )
     else:
         raise ValueError(
