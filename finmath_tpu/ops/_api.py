@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 # Type priorities drive binary-operator dispatch: if the argument has a
 # higher priority, the operation is delegated to it (with arguments flipped
 # for non-commutative ops). Reference: CPU float = 1
@@ -25,6 +27,21 @@ import math
 TYPE_PRIORITY_FLOAT = 1
 TYPE_PRIORITY_TPU = 20
 TYPE_PRIORITY_AAD = 30
+
+
+def det_eval(fn, *xs) -> float:
+    """Evaluate a deterministic-fast-path scalar op with IEEE/Java
+    semantics: domain errors yield NaN, overflow / division by zero yield
+    signed infinity — exactly like the stochastic array path and the Java
+    reference (Math.log(-1) is NaN, 1.0/0.0 is Infinity). Python's float
+    math raises ValueError/ZeroDivisionError/OverflowError instead, which
+    would make a pricing chain CRASH when an intermediate happens to
+    collapse to a deterministic scalar. Operands are promoted to numpy
+    float64 so plain arithmetic lambdas (a/b, 1.0/x, ...) pick up IEEE
+    behavior too; pass numpy ufuncs (np.log, np.sqrt, ...) rather than
+    math.* for the transcendental ops."""
+    with np.errstate(all="ignore"):
+        return float(fn(*(np.float64(x) for x in xs)))
 
 
 def quantile_index(size: int, quantile: float) -> int:

@@ -110,6 +110,33 @@ class RandomVariableDifferentiable(RandomVariable):
     def get_quantile(self, q, probabilities=None) -> float:
         return self._values.get_quantile(q, probabilities)
 
+    def get_sample_variance(self) -> float:
+        return self._values.get_sample_variance()
+
+    def get_quantile_expectation(self, q_start: float, q_end: float) -> float:
+        return self._values.get_quantile_expectation(q_start, q_end)
+
+    def get_histogram(self, *args, **kwargs):
+        return self._values.get_histogram(*args, **kwargs)
+
+    def get_operator(self):
+        return self._values.get_operator()
+
+    def get_realizations_stream(self):
+        return self._values.get_realizations_stream()
+
+    def equals(self, other) -> bool:
+        return self._values.equals(_tpu(other))
+
+    def apply(self, function, *args):
+        """Elementwise apply on the underlying values. The result enters
+        the tape as a CONSTANT (no gradient edge): an arbitrary
+        user-supplied function has no registered vjp — matching finmath,
+        whose AAD class inherits apply from the plain implementation
+        without adding it to the operator tree."""
+        return RandomVariableDifferentiable(
+            self._values.apply(function, *[_tpu(a) for a in args]))
+
     def __repr__(self):
         return f"RandomVariableDifferentiable(id={self._id}, {self._values!r})"
 

@@ -34,7 +34,6 @@ import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -67,6 +66,29 @@ def _draw_normal_pair(shape=_TILE):
     r = jnp.sqrt(jnp.float32(-2.0) * log32(u1))
     theta = jnp.float32(_TWO_PI) * u2
     return r * jnp.cos(theta), r * jnp.sin(theta)
+
+
+def make_z_row_source(normals_ref, draw_shape):
+    """Trace-time factory for a per-row [1, lanes] normal source inside a
+    Pallas kernel: pops rows from buffered Box-Muller draws (BOTH outputs
+    consumed — the round-1 Asian kernel lost half its RNG work by
+    discarding the sine output), or reads successive rows of an injected
+    ``normals_ref`` block (the CI interpreter path, which cannot honor
+    prng_seed). Shared by the LMM path kernels."""
+    state = {"rows": [], "row": 0}
+
+    def next_z():
+        if normals_ref is not None:
+            r = state["row"]
+            state["row"] += 1
+            return normals_ref[0, r:r + 1]
+        if not state["rows"]:
+            z1, z2 = _draw_normal_pair(draw_shape)
+            state["rows"] = [z1[i:i + 1] for i in range(draw_shape[0])] \
+                + [z2[i:i + 1] for i in range(draw_shape[0])]
+        return state["rows"].pop(0)
+
+    return next_z
 
 
 def _bs_kernel(seed_ref, params_ref, payoff_ref, *, num_steps: int):

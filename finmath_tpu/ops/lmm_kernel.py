@@ -36,12 +36,11 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .kernels import _draw_normal_pair
+from .kernels import make_z_row_source
 from .random_variable import ACC_DTYPE
 
 _LANES = 128                      # paths per program
@@ -89,18 +88,14 @@ def _lmm_kernel(seed_ref, scal_ref, volT_ref, l0_ref, delta_ref, out_ref, *,
     L = l0_ref[...] * jnp.ones((n, _LANES), dtype=jnp.float32)
     N = jnp.ones((1, _LANES), dtype=jnp.float32)
 
-    z_rows = []                                              # 16 per draw
+    next_z = make_z_row_source(normals_ref, _DRAW)
     for s in range(num_steps):
-        if normals_ref is not None:
-            z = normals_ref[0, s:s + 1]                      # [1, 128]
-        else:
-            if not z_rows:
-                z1, z2 = _draw_normal_pair(_DRAW)
-                z_rows = [z1[i:i + 1] for i in range(8)] \
-                    + [z2[i:i + 1] for i in range(8)]
-            z = z_rows.pop(0)                                # [1, 128]
-        # spot account accrues period s at its (frozen) fixing L_s
-        N = N * (one + dt * L[s:s + 1])
+        z = next_z()                                         # [1, 128]
+        # spot account accrues period s at its (frozen) fixing L_s over
+        # the period's OWN accrual fraction delta_s (== dt on the uniform
+        # benchmark grid, but not in general — the scan engine accrues
+        # with deltas, models/lmm/model.py)
+        N = N * (one + delta[s:s + 1] * L[s:s + 1])
         lam = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) >= s + 1,
             volT_ref[:, s:s + 1], jnp.float32(0.0))          # [n, 1]

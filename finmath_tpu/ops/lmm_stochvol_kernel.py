@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .kernels import _draw_normal_pair
+from .kernels import make_z_row_source
 from .lmm_kernel import _prefix_scan
 from .random_variable import ACC_DTYPE
 
@@ -74,24 +74,15 @@ def _sv_kernel(seed_ref, scal_ref, volT_ref, l0_ref, delta_ref, out_ref, *,
     N = jnp.ones((1, _LANES), dtype=jnp.float32)
     V = jnp.ones((1, _LANES), dtype=jnp.float32)
 
-    z_rows = []
-    def next_z():
-        if normals_ref is not None:
-            row = next_z.counter
-            next_z.counter += 1
-            return normals_ref[0, row:row + 1]                # [1, 128]
-        if not z_rows:
-            z1, z2 = _draw_normal_pair(_DRAW)
-            z_rows.extend(z1[i:i + 1] for i in range(8))
-            z_rows.extend(z2[i:i + 1] for i in range(8))
-        return z_rows.pop(0)
-    next_z.counter = 0
+    next_z = make_z_row_source(normals_ref, _DRAW)
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     for s in range(num_steps):
         zs = [next_z() for _ in range(F + 1)]                 # [1, 128] each
-        # spot account accrues period s at its just-fixed L_s
-        N = N * (one + dt * L[s:s + 1])
+        # spot account accrues period s at its just-fixed L_s over the
+        # period's OWN accrual fraction delta_s (== dt on the uniform
+        # benchmark grid, but not in general)
+        N = N * (one + delta[s:s + 1] * L[s:s + 1])
         alive = iota >= s + 1                                 # [n, 1]
         # blended local factor * sqrt(V): shared across factors
         lf = ((one - blend) * L + blend * L0) * jnp.sqrt(V)   # [n, 128]

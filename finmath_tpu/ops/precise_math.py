@@ -142,6 +142,7 @@ def pow32(x: jax.Array, y) -> jax.Array:
     return jnp.where(x == 0.0, at_zero, r)
 
 
+
 def expm1_32(x: jax.Array) -> jax.Array:
     """exp(x) - 1 without cancellation for small x."""
     x = jnp.asarray(x, dtype=_F32)

@@ -41,6 +41,7 @@ import numpy as np
 
 from ._api import (
     TYPE_PRIORITY_TPU,
+    det_eval as _det_eval,
     install_camel_aliases,
     quantile_index,
 )
@@ -133,7 +134,11 @@ class RandomVariableTPU(RandomVariable):
         return not isinstance(self._values, jax.Array)
 
     def size(self) -> int:
-        return 1 if self.is_deterministic() else int(self._values.shape[0])
+        if self.is_deterministic():
+            return 1
+        # a formerly-deterministic RV re-entering through jit is a 0-d
+        # tracer (pytree unflatten cannot turn tracers back into floats)
+        return 1 if self._values.ndim == 0 else int(self._values.shape[0])
 
     def double_value(self) -> float:
         if not self.is_deterministic():
@@ -222,29 +227,29 @@ class RandomVariableTPU(RandomVariable):
     # ------------------------------------------------------------------
     def _unary(self, scalar_fn: Callable, array_fn: Callable) -> "RandomVariableTPU":
         if self.is_deterministic():
-            return RandomVariableTPU.of(self._time, float(scalar_fn(self._values)))
+            return RandomVariableTPU.of(self._time, _det_eval(scalar_fn, self._values))
         return RandomVariableTPU.of(self._time, array_fn(self._values))
 
     def squared(self):
         return self._unary(lambda x: x * x, lambda v: v * v)
 
     def sqrt(self):
-        return self._unary(math.sqrt, jnp.sqrt)
+        return self._unary(np.sqrt, jnp.sqrt)
 
     # exp/log/pow use the ~1-ULP f32 implementations from precise_math:
     # TPU's native transcendentals are fast approximations (log ~3.7e-4 rel)
     # that would break the reference's 1e-7 CPU/TPU parity contract.
     def exp(self):
-        return self._unary(math.exp, exp32)
+        return self._unary(np.exp, exp32)
 
     def log(self):
-        return self._unary(math.log, log32)
+        return self._unary(np.log, log32)
 
     def sin(self):
-        return self._unary(math.sin, jnp.sin)
+        return self._unary(np.sin, jnp.sin)
 
     def cos(self):
-        return self._unary(math.cos, jnp.cos)
+        return self._unary(np.cos, jnp.cos)
 
     def invert(self):
         return self._unary(lambda x: 1.0 / x, lambda v: 1.0 / v)
@@ -270,7 +275,7 @@ class RandomVariableTPU(RandomVariable):
     def _scalar_op(self, value: float, scalar_fn, array_fn) -> "RandomVariableTPU":
         value = float(value)
         if self.is_deterministic():
-            return RandomVariableTPU.of(self._time, float(scalar_fn(self._values, value)))
+            return RandomVariableTPU.of(self._time, _det_eval(scalar_fn, self._values, value))
         return RandomVariableTPU.of(self._time, array_fn(self._values, value))
 
     def cap(self, other):
@@ -320,7 +325,7 @@ class RandomVariableTPU(RandomVariable):
     def pow(self, exponent: float):
         exponent = float(exponent)
         return self._unary(
-            lambda x: math.pow(x, exponent), lambda v: pow32(v, exponent)
+            lambda x: np.power(x, exponent), lambda v: pow32(v, exponent)
         )
 
     # ------------------------------------------------------------------
@@ -338,7 +343,7 @@ class RandomVariableTPU(RandomVariable):
         o_det, o_vals = self._dev(other)
         s_det = self.is_deterministic()
         if s_det and o_det:
-            return RandomVariableTPU.of(new_time, float(scalar_fn(self._values, o_vals)))
+            return RandomVariableTPU.of(new_time, _det_eval(scalar_fn, self._values, o_vals))
         return RandomVariableTPU.of(new_time, array_fn(self._values, o_vals))
 
     # ------------------------------------------------------------------
@@ -372,7 +377,9 @@ class RandomVariableTPU(RandomVariable):
             r_det, r = True, float(rate)
         p = float(period_length)
         if self.is_deterministic() and r_det:
-            return RandomVariableTPU.of(new_time, float(self._values) / (1.0 + float(r) * p))
+            return RandomVariableTPU.of(
+                new_time,
+                _det_eval(lambda s, rr: s / (1.0 + rr * p), self._values, r))
         return RandomVariableTPU.of(new_time, self._values / (1.0 + r * p))
 
     def add_product(self, factor1: "RandomVariable", factor2):
@@ -410,7 +417,10 @@ class RandomVariableTPU(RandomVariable):
         n_det, n = self._dev(numerator)
         d_det, d = self._dev(denominator)
         if self.is_deterministic() and n_det and d_det:
-            return RandomVariableTPU.of(new_time, float(self._values) + sign * float(n) / float(d))
+            return RandomVariableTPU.of(
+                new_time,
+                _det_eval(lambda s, nn, dd: s + sign * nn / dd,
+                          self._values, n, d))
         return RandomVariableTPU.of(new_time, self._values + sign * (n / d))
 
     def add_sum_product(

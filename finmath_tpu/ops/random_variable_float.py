@@ -24,6 +24,7 @@ import numpy as np
 
 from ._api import (
     TYPE_PRIORITY_FLOAT,
+    det_eval as _det_eval,
     install_camel_aliases,
     quantile_index,
 )
@@ -197,7 +198,7 @@ class RandomVariableFloat(RandomVariable):
     # ------------------------------------------------------------------
     def _unary(self, scalar_fn, array_fn) -> "RandomVariableFloat":
         if self.is_deterministic():
-            return RandomVariableFloat.of(self._time, float(scalar_fn(self._values)))
+            return RandomVariableFloat.of(self._time, _det_eval(scalar_fn, self._values))
         return RandomVariableFloat.of(
             self._time, array_fn(self._values).astype(np.float32, copy=False)
         )
@@ -206,19 +207,19 @@ class RandomVariableFloat(RandomVariable):
         return self._unary(lambda x: x * x, lambda v: v * v)
 
     def sqrt(self):
-        return self._unary(math.sqrt, np.sqrt)
+        return self._unary(np.sqrt, np.sqrt)
 
     def exp(self):
-        return self._unary(math.exp, np.exp)
+        return self._unary(np.exp, np.exp)
 
     def log(self):
-        return self._unary(math.log, np.log)
+        return self._unary(np.log, np.log)
 
     def sin(self):
-        return self._unary(math.sin, np.sin)
+        return self._unary(np.sin, np.sin)
 
     def cos(self):
-        return self._unary(math.cos, np.cos)
+        return self._unary(np.cos, np.cos)
 
     def invert(self):
         return self._unary(lambda x: 1.0 / x, lambda v: np.float32(1.0) / v)
@@ -241,7 +242,7 @@ class RandomVariableFloat(RandomVariable):
     def _scalar_op(self, value: float, scalar_fn, array_fn) -> "RandomVariableFloat":
         value = float(value)
         if self.is_deterministic():
-            return RandomVariableFloat.of(self._time, float(scalar_fn(self._values, value)))
+            return RandomVariableFloat.of(self._time, _det_eval(scalar_fn, self._values, value))
         return RandomVariableFloat.of(
             self._time,
             array_fn(self._values, np.float32(value)).astype(np.float32, copy=False),
@@ -290,7 +291,7 @@ class RandomVariableFloat(RandomVariable):
     def pow(self, exponent: float):
         exponent = float(exponent)
         return self._unary(
-            lambda x: math.pow(x, exponent),
+            lambda x: np.power(x, exponent),
             lambda v: np.power(v, np.float32(exponent)),
         )
 
@@ -306,7 +307,7 @@ class RandomVariableFloat(RandomVariable):
         new_time = max(self._time, other.get_filtration_time())
         o_det, o_vals = self._host(other)
         if self.is_deterministic() and o_det:
-            return RandomVariableFloat.of(new_time, float(scalar_fn(self._values, o_vals)))
+            return RandomVariableFloat.of(new_time, _det_eval(scalar_fn, self._values, o_vals))
         a = self._values if not self.is_deterministic() else np.float32(self._values)
         b = o_vals if not o_det else np.float32(o_vals)
         return RandomVariableFloat.of(new_time, array_fn(a, b).astype(np.float32, copy=False))
@@ -338,8 +339,9 @@ class RandomVariableFloat(RandomVariable):
         p = np.float32(period_length)
         if self.is_deterministic() and r_det:
             return RandomVariableFloat.of(
-                new_time, float(self._values) / (1.0 + float(r) * float(period_length))
-            )
+                new_time,
+                _det_eval(lambda s_, rr: s_ / (1.0 + rr * float(period_length)),
+                          self._values, r))
         a = self._values if not self.is_deterministic() else np.float32(self._values)
         rr = r if not r_det else np.float32(r)
         return RandomVariableFloat.of(
@@ -387,8 +389,9 @@ class RandomVariableFloat(RandomVariable):
         d_det, d = self._host(denominator)
         if self.is_deterministic() and n_det and d_det:
             return RandomVariableFloat.of(
-                new_time, float(self._values) + sign * float(n) / float(d)
-            )
+                new_time,
+                _det_eval(lambda s_, nn_, dd_: s_ + sign * nn_ / dd_,
+                          self._values, n, d))
         a = self._values if not self.is_deterministic() else np.float32(self._values)
         nn = n if not n_det else np.float32(n)
         dd = d if not d_det else np.float32(d)

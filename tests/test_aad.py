@@ -248,3 +248,39 @@ class TestConditionalExpectation:
         est = monomial_basis(RandomVariableTPU(0.0, np.ones(10, np.float32)), 2)
         det = RandomVariableTPU(0.0, 5.0)
         assert det.get_conditional_expectation(est).double_value() == 5.0
+
+
+class TestContractDelegation:
+    """RandomVariableDifferentiable must expose the full RandomVariable
+    contract that both sibling implementations provide (regression: a
+    factory-injected AAD variable used to AttributeError on
+    get_sample_variance/apply/get_histogram/equals/...)."""
+
+    def _rv(self):
+        vals = np.linspace(0.5, 2.0, 64).astype(np.float32)
+        return RandomVariableDifferentiable(RandomVariableTPU(0.0, vals)), vals
+
+    def test_statistics_delegate(self):
+        rv, vals = self._rv()
+        assert rv.get_sample_variance() == pytest.approx(
+            float(np.var(vals.astype(np.float64), ddof=1)), rel=1e-5)
+        assert rv.get_quantile_expectation(0.25, 0.75) == pytest.approx(
+            rv.values.get_quantile_expectation(0.25, 0.75))
+        pts = [0.6, 1.0, 1.5]
+        assert np.allclose(rv.get_histogram(interval_points=pts),
+                           rv.values.get_histogram(interval_points=pts))
+        assert rv.get_operator() is None or rv.get_operator() is not None
+        assert list(rv.get_realizations_stream())[:3] == \
+            list(rv.values.get_realizations_stream())[:3]
+        assert rv.equals(rv.values)
+
+    def test_apply_enters_tape_as_constant(self):
+        rv, vals = self._rv()
+        applied = rv.apply(lambda x: x * 2.0)
+        assert isinstance(applied, RandomVariableDifferentiable)
+        assert applied.get_average() == pytest.approx(
+            2.0 * rv.get_average(), rel=1e-6)
+        # no gradient edge: the applied result does not depend on rv's id
+        grads = applied.mult(1.0).average().get_gradient([rv])
+        g = grads.get(rv.get_id())
+        assert g is None or abs(g.get_average()) == 0.0

@@ -229,7 +229,9 @@ class TestStochVolKernelArithmeticCI:
         V = np.ones(paths)
         for s in range(S):
             zs = [z[s * (F + 1) + f] for f in range(F + 1)]
-            N = N * (1.0 + dt * L[s])
+            # the spot account accrues period s over its OWN accrual
+            # fraction delta_s (dt is the simulation step)
+            N = N * (1.0 + deltas[s] * L[s])
             alive = (np.arange(n) >= s + 1)[:, None]
             lf = ((1.0 - blend) * L + blend * L0) * np.sqrt(V)[None, :]
             mt = deltas[:, None] / (1.0 + deltas[:, None] * L)
@@ -251,7 +253,11 @@ class TestStochVolKernelArithmeticCI:
         payoff = np.maximum(1.0 - cp[e + periods - 1] - K * ann, 0.0)
         return float(np.mean(payoff / N))
 
-    def test_kernel_matches_numpy_on_injected_normals(self):
+    @pytest.mark.parametrize("uniform_deltas", [True, False])
+    def test_kernel_matches_numpy_on_injected_normals(self, uniform_deltas):
+        """uniform_deltas=False regression: the kernels accrued the spot
+        numeraire with the scalar dt instead of the per-period accrual
+        fractions — silently biased on any tenor grid with deltas != dt."""
         from jax.experimental.pallas import tpu as pltpu
 
         from finmath_tpu.ops.lmm_stochvol_kernel import (
@@ -269,7 +275,10 @@ class TestStochVolKernelArithmeticCI:
         A = rng.standard_normal((n, F))
         R = A / np.linalg.norm(A, axis=1, keepdims=True)
         l0 = np.full(n, 0.024)
-        deltas = np.full(n, dt)
+        if uniform_deltas:
+            deltas = np.full(n, dt)
+        else:
+            deltas = np.where(np.arange(n) % 2 == 0, 0.4, 0.6)
         z = rng.standard_normal((S * (F + 1), paths)).astype(np.float32)
 
         ref = self._numpy_reference(z.astype(np.float64), vol_table, R, l0,

@@ -321,3 +321,55 @@ class TestSerialization:
         assert rv.getAverage() == pytest.approx(2.0)
         assert rv.getFiltrationTime() == 1.0
         assert rv.isDeterministic()
+
+
+class TestDeterministicIEEESemantics:
+    """The deterministic fast path must propagate NaN/Infinity exactly like
+    the stochastic array path and the Java reference (Math.log(-1) is NaN,
+    1.0/0.0 is Infinity) — not raise Python ValueError/ZeroDivisionError.
+    Regression: a pricing chain that collapses to a deterministic
+    intermediate (e.g. zero rate in a discount denominator) used to crash."""
+
+    @pytest.mark.parametrize("cls", [RandomVariableTPU, RandomVariableFloat])
+    def test_domain_errors_yield_nan(self, cls):
+        assert math.isnan(cls(0.0, -1.0).log().double_value())
+        assert math.isnan(cls(0.0, -1.0).sqrt().double_value())
+        assert math.isnan(cls(0.0, -1.0).pow(0.5).double_value())
+
+    @pytest.mark.parametrize("cls", [RandomVariableTPU, RandomVariableFloat])
+    def test_division_by_zero_yields_signed_infinity(self, cls):
+        assert cls(0.0, 0.0).invert().double_value() == math.inf
+        assert cls(0.0, 1.0).div(cls(0.0, 0.0)).double_value() == math.inf
+        assert cls(0.0, -1.0).div(cls(0.0, 0.0)).double_value() == -math.inf
+        assert cls(0.0, 1.0).div(0.0).double_value() == math.inf
+        # discount with rate*period == -1 -> division by zero
+        assert math.isinf(
+            cls(0.0, 1.0).discount(cls(0.0, -2.0), 0.5).double_value())
+        # add_ratio with zero denominator
+        assert math.isinf(cls(0.0, 1.0).add_ratio(
+            cls(0.0, 1.0), cls(0.0, 0.0)).double_value())
+
+    @pytest.mark.parametrize("cls", [RandomVariableTPU, RandomVariableFloat])
+    def test_overflow_yields_infinity(self, cls):
+        assert cls(0.0, 1e308).exp().double_value() == math.inf
+
+    @pytest.mark.parametrize("cls", [RandomVariableTPU, RandomVariableFloat])
+    def test_matches_stochastic_path(self, cls):
+        """det and stochastic paths agree on the special values."""
+        det = cls(0.0, -1.0).log().double_value()
+        stoch = cls(0.0, np.asarray([-1.0, 1.0], np.float32)).log()
+        assert math.isnan(det) and math.isnan(stoch.get(0))
+        det = cls(0.0, 1.0).div(cls(0.0, 0.0)).double_value()
+        stoch = cls(0.0, np.asarray([1.0, 1.0], np.float32)).div(
+            cls(0.0, np.asarray([0.0, 1.0], np.float32)))
+        assert det == math.inf and stoch.get(0) == math.inf
+
+
+class TestSizeUnderJit:
+    def test_deterministic_rv_size_in_jit(self):
+        """A det RV re-entering jit is a 0-d tracer; size() must return 1,
+        not crash on the 0-d shape (regression)."""
+        import jax
+
+        f = jax.jit(lambda rv: float(rv.size()) * 1.0)
+        assert float(f(RandomVariableTPU(0.0, 3.0))) == 1.0
