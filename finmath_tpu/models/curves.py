@@ -25,8 +25,10 @@ import numpy as np
 
 
 class DiscountCurve:
-    """Discount factors, log-linear interpolation, constant extrapolation
-    of the zero rate beyond the last pillar."""
+    """Discount factors, log-linear interpolation; beyond the last pillar
+    the LOG discount factor is held constant (df(t) = df(t_last), i.e.
+    zero forward rates past the grid) — finmath's CONSTANT extrapolation
+    on LOG_OF_VALUE, NOT constant-zero-rate extrapolation."""
 
     def __init__(self, pillar_times: Sequence[float], discount_factors: Sequence[float],
                  name: str = "discountCurve"):

@@ -72,6 +72,15 @@ class LMMAnalyticSwaptionEngine:
             raise NotImplementedError(
                 "analytic approximation supports VOLATILITYNORMAL quotes"
             )
+        if (model.simulation_td.get_number_of_time_steps()
+                != model.libor_td.get_number_of_time_steps()):
+            # the integration mask below indexes cov.vol_table (one row per
+            # SIMULATION step) with tenor-grid step sizes and exercise
+            # indices — on a refined simulation grid the shapes (and the
+            # dt weights) would silently disagree
+            raise NotImplementedError(
+                "analytic approximation requires simulation grid == tenor "
+                "grid; use the Monte-Carlo engine for refined grids")
 
         deltas = model.deltas
         L0 = model.initial_forwards
@@ -94,16 +103,15 @@ class LMMAnalyticSwaptionEngine:
         self._weights = np.asarray([p.weight for p in self.products])
         self._L0 = jnp.asarray(L0)
 
+        self._quotes_fn = jax.jit(self._build_quotes_fn())
         self._residual_fn = jax.jit(self._build_residual_fn())
         self._jac_fn = jax.jit(jax.jacfwd(self._build_residual_fn()))
 
-    def _build_residual_fn(self):
+    def _build_quotes_fn(self):
         cov = self.model.covariance
-        targets = jnp.asarray(self._targets)
-        weights = jnp.asarray(self._weights)
         L0_col = self._L0[:, None].astype(jnp.float32)
 
-        def residuals(params):
+        def quotes(params):
             prep = cov.prepare(params)
             vol = cov.vol_table(prep)                       # [steps, n]
             R = cov.factor_matrix(prep)                     # [n, F]
@@ -114,8 +122,17 @@ class LMMAnalyticSwaptionEngine:
             x = jnp.einsum("pi,sif->psf", self._W.astype(lam.dtype), lam)
             inst_var = jnp.sum(x * x, axis=2)               # [P, steps]
             total_var = jnp.sum(inst_var * self._steps_dt.astype(lam.dtype), axis=1)
-            sigma_n = jnp.sqrt(jnp.maximum(total_var, 1e-20) / self._texp)
-            return weights * (sigma_n - targets)
+            return jnp.sqrt(jnp.maximum(total_var, 1e-20) / self._texp)
+
+        return quotes
+
+    def _build_residual_fn(self):
+        quotes = self._build_quotes_fn()
+        targets = jnp.asarray(self._targets)
+        weights = jnp.asarray(self._weights)
+
+        def residuals(params):
+            return weights * (quotes(params) - targets)
 
         return residuals
 
@@ -127,7 +144,9 @@ class LMMAnalyticSwaptionEngine:
         return np.asarray(self._jac_fn(jnp.asarray(params, dtype=jnp.float64)))
 
     def implied_vols(self, params) -> np.ndarray:
-        return self.residuals(params) / self._weights + self._targets
+        """Model quotes computed directly (NOT by un-scaling the weighted
+        residuals, which is 0/0 for a legitimately de-weighted product)."""
+        return np.asarray(self._quotes_fn(jnp.asarray(params, dtype=jnp.float64)))
 
     @property
     def targets(self) -> np.ndarray:

@@ -89,6 +89,12 @@ class BenchmarkCalibrationSetup:
             if eng.antithetic:
                 unit *= 2
             paths = max(paths - paths % unit, unit)
+            if paths == eng.num_paths:
+                # no reduction possible (e.g. the 8192-path default):
+                # reuse the main engine instead of compiling and warming
+                # an identical duplicate program set
+                self._sweep_engine = eng
+                return eng
             self._sweep_engine = LMMValuationEngine(
                 self.model, list(eng.products), paths, eng.num_factors,
                 eng.seed, mesh=eng.mesh, dtype=eng.dtype,

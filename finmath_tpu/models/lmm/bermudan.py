@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops.random_variable import ACC_DTYPE, FLOAT_DTYPE
-from .model import LIBORMarketModelTPU, LMMValuationEngine, SwaptionProduct
+from .model import (LIBORMarketModelTPU, LMMValuationEngine, SwaptionProduct,
+                    bond_ratio_cumprod)
 
 
 @dataclass(frozen=True)
@@ -85,8 +86,7 @@ class BermudanSwaptionPricer:
             def collect(e, ev, L, N):
                 delta = jnp.asarray(deltas_np, dtype=FLOAT_DTYPE)
                 j = jnp.arange(n)[:, None]
-                r = jnp.where(j >= e, 1.0 / (1.0 + delta[:, None] * L), 1.0)
-                cp = jnp.cumprod(r, axis=0)
+                cp = bond_ratio_cumprod(L, delta[:, None], e, j)
                 m_end = product.maturity_index - 1
                 p_end = cp[m_end]
                 # annuity deltas for periods [e, maturity): e is traced
@@ -97,7 +97,11 @@ class BermudanSwaptionPricer:
                     (jj >= e) & (jj < product.maturity_index),
                     delta, jnp.zeros_like(delta),
                 )
-                ann = mask @ cp                       # [paths]
+                # HIGHEST matmul precision explicitly, not only via the
+                # global default, so embedders that opt out of the
+                # import-time config keep the f32 parity contract
+                ann = jnp.matmul(mask, cp,
+                                 precision=jax.lax.Precision.HIGHEST)
                 swap_value = 1.0 - p_end - K * ann    # payer swap at T_e
                 return swap_value, ann, p_end, N
 
@@ -115,7 +119,6 @@ class BermudanSwaptionPricer:
                 immediate = swap_value * inv_n        # exercise value / numeraire
                 if exercised is None:
                     value = jnp.maximum(immediate, 0.0)
-                    continue_value = None
                 else:
                     value_next = value
                     # regression basis: polynomials of the swap value plus
@@ -133,7 +136,15 @@ class BermudanSwaptionPricer:
                     continuation = regression_fit_predict(
                         jnp.stack(feats), value_next
                     )
-                    value = jnp.where(immediate > continuation, immediate, value_next)
+                    # exercise only when in the money AND better than the
+                    # estimated continuation: without the ITM restriction
+                    # a regression artifact can lock in a NEGATIVE
+                    # exercise value a rational holder would decline,
+                    # biasing the price low (deep-OTM Bermudans could even
+                    # price negative)
+                    value = jnp.where(
+                        (immediate > 0.0) & (immediate > continuation),
+                        immediate, value_next)
                 exercised = True
             return jnp.mean(value.astype(ACC_DTYPE))
 

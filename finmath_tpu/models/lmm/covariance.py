@@ -223,6 +223,18 @@ class _CovarianceWrapper(LIBORCovarianceModelFromVolatilityAndCorrelation):
     def has_stoch_vol(self):
         return self.base.has_stoch_vol
 
+    def __getattr__(self, name):
+        # stoch-vol simulation settings live on the (possibly nested)
+        # stochastic-vol model; delegate inward so the engine reads them
+        # from the outermost wrapper regardless of nesting order.
+        # __getattr__ only fires when normal lookup fails, so a model
+        # that defines these as instance attributes is unaffected.
+        if name in ("scaling_exponent", "martingale_correction"):
+            base = self.__dict__.get("base")
+            if base is not None:
+                return getattr(base, name)
+        raise AttributeError(name)
+
 
 class DisplacedLocalVolatilityModel(_CovarianceWrapper):
     """Displaced diffusion: loadings scaled by (L_i + d) — ref.

@@ -149,6 +149,17 @@ def black_implied_vol_jnp(value, forward, strike, maturity, annuity,
 # products
 # ---------------------------------------------------------------------------
 
+def bond_ratio_cumprod(L, deltas_col, e, j_iota):
+    """Discount-bond curve at T_e from the live forwards:
+    cp[j] = P(T_e, T_{j+1}) as the cumulative product of the bond ratios
+    1/(1 + delta_j L_j) for j >= e (identity below e). ``e`` may be a
+    Python int or a traced scalar. Shared by the valuation collector and
+    the Bermudan Longstaff-Schwartz pricer so the core bond-curve
+    arithmetic lives in exactly one place."""
+    r = jnp.where(j_iota >= e, 1.0 / (1.0 + deltas_col * L), 1.0)
+    return jnp.cumprod(r, axis=0)
+
+
 @dataclass(frozen=True)
 class SwaptionProduct:
     """A (payer) swaption on the model tenor grid, quoted in a value unit.
@@ -715,9 +726,7 @@ class LMMValuationEngine:
         def collect(e, ev, L, N):
             """Local (unnormalized) f64 path sums of payoff/numeraire and
             of 1/numeraire for event ``ev``'s products (exercise index e)."""
-            # bond ratios at T_e: cp[j] = P(T_e, T_{j+1})
-            r = jnp.where(j_iota >= e, 1.0 / (1.0 + deltas[:, None] * L), 1.0)
-            cp = jnp.cumprod(r, axis=0)
+            cp = bond_ratio_cumprod(L, deltas[:, None], e, j_iota)
             if spot:
                 inv_n = (1.0 / N).astype(ACC_DTYPE)               # [paths]
             else:

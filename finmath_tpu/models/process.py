@@ -68,7 +68,11 @@ def euler_scan(model: ProcessModel, initial_state: jax.Array,
         i, dw, dt = inputs
         mu = model.drift(i, state)
         lam = model.factor_loadings(i, state)  # [C, F, P]
-        diffusion = jnp.einsum("cfp,fp->cp", lam, dw)
+        # HIGHEST explicitly (not only via the import-time global default)
+        # so embedders that opt out of global config keep the f32 parity
+        # contract on the MXU contraction
+        diffusion = jnp.einsum("cfp,fp->cp", lam, dw,
+                               precision=jax.lax.Precision.HIGHEST)
         new_state = state + mu * dt.astype(FLOAT_DTYPE) + diffusion
         return new_state, new_state
 

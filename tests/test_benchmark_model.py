@@ -184,3 +184,36 @@ class TestAnalyticApproximation:
         bench = build_benchmark_calibration(num_paths=256, num_factors=2)
         with pytest.raises(NotImplementedError):
             LMMAnalyticSwaptionEngine(bench.model, bench.products)
+
+
+class TestNestedStochVolSettings:
+    def test_engine_reads_nested_scaling_settings(self, bench_setup):
+        """scaling_exponent / martingale_correction set on a NESTED
+        stoch-vol model must reach the engine through outer wrappers
+        (regression: getattr on the outermost wrapper silently fell back
+        to the defaults)."""
+        from finmath_tpu.models.lmm.covariance import (
+            BlendedLocalVolatilityModel,
+            LIBORCovarianceModelStochasticVolatility,
+        )
+
+        base = bench_setup.covariance.base.base  # the 5-param exp model
+        sv_inner = LIBORCovarianceModelStochasticVolatility(
+            base, nu=0.2, rho=0.1, scaling_exponent=1.0,
+            martingale_correction=False)
+        outer = BlendedLocalVolatilityModel(sv_inner, blend=0.2)
+        assert outer.scaling_exponent == 1.0
+        assert outer.martingale_correction is False
+        # default nesting (stoch-vol outermost) unchanged
+        assert bench_setup.covariance.scaling_exponent == 0.5
+        assert bench_setup.covariance.martingale_correction is True
+
+    def test_sweep_engine_reuses_main_engine_when_no_reduction(self):
+        from finmath_tpu.models.lmm.benchmark_calibration import (
+            build_benchmark_calibration,
+        )
+
+        setup = build_benchmark_calibration(num_paths=8192)
+        assert setup.sweep_engine() is setup.engine
+        setup2 = build_benchmark_calibration(num_paths=1024)
+        assert setup2.sweep_engine() is setup2.engine  # floor >= paths

@@ -77,3 +77,15 @@ class TestBermudanSwaption:
         with pytest.raises(NotImplementedError, match="spot"):
             BermudanSwaptionPricer(
                 terminal, BermudanSwaption((4, 6), 12, 0.01), N_PATHS, 1)
+
+    def test_deep_otm_bermudan_nonnegative(self, setup):
+        """ITM-restriction regression: without the (immediate > 0) guard
+        a regression artifact can lock in negative exercise values and a
+        deep-OTM Bermudan can price negative; option value is >= 0."""
+        model = setup.model
+        p0 = setup.covariance.initial_parameters
+        pricer = BermudanSwaptionPricer(
+            model, BermudanSwaption((4, 6, 8), 12, 0.15), N_PATHS, 1
+        )
+        v = pricer.get_value(p0)
+        assert v >= 0.0

@@ -231,3 +231,41 @@ class TestATMCalibration:
         p_restored = pickle.loads(pickle.dumps(p))
         r2 = small_setup.engine.residuals(p_restored)
         np.testing.assert_array_equal(r1, r2)
+
+
+class TestAnalyticEngineGuards:
+    def test_zero_weight_product_implied_vols_finite(self):
+        from finmath_tpu.models.lmm.analytic_approximation import (
+            LMMAnalyticSwaptionEngine,
+        )
+        from finmath_tpu.models.lmm.atm_calibration import build_atm_calibration
+        from finmath_tpu.models.lmm.model import SwaptionProduct
+
+        setup = build_atm_calibration(num_paths=256, num_factors=1)
+        prods = list(setup.products[:5])
+        deweighted = SwaptionProduct(
+            prods[0].exercise_index, prods[0].num_periods, prods[0].strike,
+            prods[0].target, weight=0.0, value_unit="VOLATILITYNORMAL")
+        eng = LMMAnalyticSwaptionEngine(setup.model, prods[1:] + [deweighted])
+        iv = eng.implied_vols(setup.covariance.initial_parameters)
+        assert np.all(np.isfinite(iv))
+
+    def test_refined_grid_rejected(self):
+        from finmath_tpu.models.lmm.analytic_approximation import (
+            LMMAnalyticSwaptionEngine,
+        )
+        from finmath_tpu.models.lmm.atm_calibration import build_atm_calibration
+        from finmath_tpu.models.lmm.model import LIBORMarketModelTPU
+        from finmath_tpu.models.time_discretization import TimeDiscretization
+
+        setup = build_atm_calibration(num_paths=256, num_factors=1)
+        m = setup.model
+        fine = TimeDiscretization(
+            initial=0.0,
+            num_steps=2 * m.libor_td.get_number_of_time_steps(),
+            step=m.libor_td.get_step_sizes()[0] / 2)
+        refined = LIBORMarketModelTPU(
+            m.libor_td, m.forward_curve, m.discount_curve, m.covariance,
+            simulation_td=fine)
+        with pytest.raises(NotImplementedError, match="simulation grid"):
+            LMMAnalyticSwaptionEngine(refined, setup.products[:3])
