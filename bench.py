@@ -26,6 +26,31 @@ import json
 import time
 
 
+def _warm_concurrently(legs):
+    """Compile-warm independent programs in parallel threads (the remote
+    compile service handles concurrent requests; measured 35.5 s vs 497 s
+    serial for four fresh programs). Exceptions are captured and re-raised
+    on the caller thread — a silently dead warm leg would shift its
+    compile cost (or its error) into the timed region."""
+    import threading
+
+    errors = []
+
+    def run(f):
+        try:
+            f()
+        except Exception as exc:  # noqa: BLE001 - re-raised below
+            errors.append(exc)
+
+    threads = [threading.Thread(target=run, args=(f,)) for f in legs]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    if errors:
+        raise errors[0]
+
+
 # finmath CPU baseline interpolated to 100k paths from README.md:242,254
 # (364.42 s @ 81,920 paths, 719.33 s @ 163,840 paths, linear in paths).
 REF_CPU_AT_100K_S = 364.42 + (719.33 - 364.42) * (100_000 - 81_920) / (163_840 - 81_920)
@@ -54,22 +79,18 @@ def bench_lmm_atm_calibration():
     build_s = time.perf_counter() - t0
 
     # one-time compilation, untimed (see module docstring for why); the
-    # four independent programs compile CONCURRENTLY — the remote compile
-    # service handles parallel requests (measured 35.5 s threaded vs
-    # 497 s serial for the segmented variants, 2026-08-17)
-    import threading
-
+    # four independent programs compile concurrently
     p0 = setup.covariance.initial_parameters
+    analytic = setup.analytic_engine  # build the lazy property ON the main
+    # thread: two threads racing the getattr-then-assign would warm a
+    # discarded instance and push its compile into the timed region
     t0 = time.perf_counter()
-    legs = [lambda: setup.engine.residuals(p0),
-            lambda: (setup.jacobian_engine or setup.engine).jacobian(p0),
-            lambda: setup.analytic_engine.residuals(p0),
-            lambda: setup.analytic_engine.jacobian(p0)]
-    threads = [threading.Thread(target=f) for f in legs]
-    for th in threads:
-        th.start()
-    for th in threads:
-        th.join()
+    _warm_concurrently([
+        lambda: setup.engine.residuals(p0),
+        lambda: (setup.jacobian_engine or setup.engine).jacobian(p0),
+        lambda: analytic.residuals(p0),
+        lambda: analytic.jacobian(p0),
+    ])
     compile_s = time.perf_counter() - t0
 
     # the timed region is the complete two-stage calibration procedure:
@@ -151,22 +172,17 @@ def bench_stochvol_calibration(num_paths):
     setup = build_benchmark_calibration(num_paths=num_paths, seed=314151)
     # one-time compilation, untimed (same methodology as the headline);
     # the multistart's reduced-path sweep engine is warmed too. The five
-    # independent programs compile concurrently (see the headline leg).
-    import threading
-
+    # independent programs compile concurrently (see _warm_concurrently).
     p0 = setup.covariance.initial_parameters
     sweep = setup.sweep_engine()
     t0 = time.perf_counter()
-    legs = [lambda: setup.engine.residuals(p0),
-            lambda: setup.engine.jacobian(p0),
-            lambda: setup.engine.values(p0),  # rms19 targets go via values()
-            lambda: sweep.residuals(p0),
-            lambda: sweep.jacobian(p0)]
-    threads = [threading.Thread(target=f) for f in legs]
-    for th in threads:
-        th.start()
-    for th in threads:
-        th.join()
+    _warm_concurrently([
+        lambda: setup.engine.residuals(p0),
+        lambda: setup.engine.jacobian(p0),
+        lambda: setup.engine.values(p0),  # rms19 targets go via values()
+        lambda: sweep.residuals(p0),
+        lambda: sweep.jacobian(p0),
+    ])
     compile_s = time.perf_counter() - t0
 
     # wall = time for OUR full procedure to reach (at least) the reference's

@@ -74,7 +74,13 @@ struct JavaLcg {
         return static_cast<int32_t>(state >> (48 - bits));
     }
     double next_double() {
-        return ((static_cast<uint64_t>(next(26)) << 27) + next(27)) * 0x1.0p-53;
+        // sequence the two draws explicitly: as unsequenced '+' operands
+        // the evaluation order — and therefore the stream — would be
+        // compiler-dependent (java.util.Random draws the 26-bit word
+        // first)
+        const uint64_t hi = static_cast<uint64_t>(next(26)) << 27;
+        const uint64_t lo = static_cast<uint64_t>(next(27));
+        return (hi + lo) * 0x1.0p-53;
     }
 };
 

@@ -33,9 +33,17 @@ PATH_AXIS = "paths"
 
 
 def make_path_mesh(num_devices: Optional[int] = None) -> Mesh:
-    """1-D mesh over the path axis (data parallel over Monte-Carlo paths)."""
+    """1-D mesh over the path axis (data parallel over Monte-Carlo paths).
+    Fails loudly when fewer devices are available than requested — a
+    silently smaller mesh would fold different per-device RNG streams
+    than the intended configuration."""
     devices = jax.devices()
     if num_devices is not None:
+        if len(devices) < num_devices:
+            raise ValueError(
+                f"need {num_devices} devices, have {len(devices)}; set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count="
+                f"{num_devices} (with JAX_PLATFORMS=cpu) to emulate")
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (PATH_AXIS,))
 

@@ -57,7 +57,14 @@ def select_device(index: int = None):
             return None
         index = int(raw)
     devices = jax.devices()
-    device = devices[index % len(devices)]
+    # reference semantics (RandomVariableCuda.java:177): negative wraps
+    # from the end ONCE; an out-of-range index fails loudly instead of
+    # silently selecting an unintended device
+    resolved = index if index >= 0 else len(devices) + index
+    if not 0 <= resolved < len(devices):
+        raise ValueError(
+            f"device index {index} out of range for {len(devices)} devices")
+    device = devices[resolved]
     jax.config.update("jax_default_device", device)
     logger.info("selected device %s", device)
     return device

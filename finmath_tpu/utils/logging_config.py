@@ -25,6 +25,10 @@ def configure_logging(console_level: int = logging.INFO,
     logger = logging.getLogger(ROOT_LOGGER)
     logger.setLevel(min(console_level, socket_level if socket_host else console_level))
     logger.handlers.clear()
+    # dedicated handlers below: stop propagation so an application's root
+    # handlers do not print every record a second time (the reference's
+    # logging.properties isolates the net.finmath hierarchy the same way)
+    logger.propagate = False
 
     console = logging.StreamHandler()
     console.setLevel(console_level)

@@ -33,8 +33,10 @@ def save_checkpoint(path: str, parameters: np.ndarray,
 
 def load_checkpoint(path: str):
     """Returns (parameters float64 array, metadata dict)."""
-    with np.load(Path(path).with_suffix(".npz") if not str(path).endswith(".npz") else path,
-                 allow_pickle=False) as data:
+    # append .npz exactly like np.savez does on save — NOT with_suffix,
+    # which would REPLACE a dotted name segment ("model.v2" -> "model.npz")
+    p = str(path) if str(path).endswith(".npz") else str(path) + ".npz"
+    with np.load(p, allow_pickle=False) as data:
         params = data["parameters"]
         metadata = json.loads(str(data["metadata"]))
     return params, metadata

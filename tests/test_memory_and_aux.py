@@ -128,7 +128,13 @@ class TestBrownianLegs:
 class TestLogging:
     def test_configure_console(self, capsys):
         logger = configure_logging(console_level=logging.DEBUG)
-        logger.debug("pool trace message")
-        captured = capsys.readouterr()
-        assert "pool trace message" in captured.err
-        logger.handlers.clear()
+        try:
+            assert logger.propagate is False  # no double emission via root
+            logger.debug("pool trace message")
+            captured = capsys.readouterr()
+            assert "pool trace message" in captured.err
+        finally:
+            # restore the shared logger so later tests' caplog (which
+            # captures via root propagation) still sees records
+            logger.handlers.clear()
+            logger.propagate = True
