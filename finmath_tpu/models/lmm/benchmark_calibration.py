@@ -271,14 +271,27 @@ class BenchmarkCalibrationSetup:
                 if np.all(np.isfinite(r.parameters)):
                     candidates.append(r.parameters)
         elif sweep_mode == "sequential":
-            for s in starts:
-                try:
-                    r = least_squares(sfun, s, jac=sjac, method="trf",
-                                      x_scale="jac", max_nfev=40)
-                except Exception:
-                    continue
-                total_nfev += int(r.nfev)
-                candidates.append(r.x)
+            # the starts are independent: run them in threads so each
+            # trust-region's residual/jacobian device calls overlap the
+            # remote tunnel's ~30 ms dispatch RTT (device compute per call
+            # is ~ms; jax dispatch is thread-safe). "sequential" keeps its
+            # name for the per-start early-stopping trust region, in
+            # contrast to the lockstep "batched" mode.
+            from concurrent.futures import ThreadPoolExecutor
+
+            def one_start(s):
+                return least_squares(sfun, s, jac=sjac, method="trf",
+                                     x_scale="jac", max_nfev=40)
+
+            with ThreadPoolExecutor(max_workers=min(8, len(starts))) as ex:
+                futures = [ex.submit(one_start, s) for s in starts]
+                for fut in futures:
+                    try:
+                        r = fut.result()
+                    except Exception:
+                        continue
+                    total_nfev += int(r.nfev)
+                    candidates.append(r.x)
         else:
             raise ValueError(f"unknown sweep_mode {sweep_mode!r}")
 
