@@ -269,3 +269,21 @@ class TestAnalyticEngineGuards:
             simulation_td=fine)
         with pytest.raises(NotImplementedError, match="simulation grid"):
             LMMAnalyticSwaptionEngine(refined, setup.products[:3])
+
+
+class TestScanModes:
+    def test_fused_and_segmented_values_identical(self):
+        """The two scan_mode program structures must price identically —
+        the headline bench ships fused (compile-light), the calibration
+        builders segmented (runtime-fast)."""
+        from finmath_tpu.models.lmm.atm_calibration import build_atm_calibration
+        from finmath_tpu.models.lmm.model import LMMValuationEngine
+
+        setup = build_atm_calibration(num_paths=512, num_factors=1)
+        assert setup.engine.scan_mode == "segmented"
+        fused = LMMValuationEngine(setup.model, setup.products, 512, 1,
+                                   31415, scan_mode="fused")
+        p0 = setup.covariance.initial_parameters
+        v_seg = np.asarray(setup.engine.values(p0))
+        v_fus = np.asarray(fused.values(p0))
+        assert np.array_equal(v_seg, v_fus)
