@@ -231,36 +231,36 @@ class BenchmarkCalibrationSetup:
         # ---- stage 1: ATM-only warm start over the first 5 parameters ----
         # at-the-money = strike equals the product's par swap rate (this
         # keeps the 5Y ATM node, whose target value collides with the
-        # smile's m=0 quote, and drops only the off-money smile quotes)
-        atm_ids = [i for i, p in enumerate(eng.products)
-                   if abs(p.strike - eng._fwd0[i]) < 1e-10]
-        frozen = x0[5:]
-        r5 = least_squares(
-            lambda x5: sfun(np.concatenate([x5, frozen]))[atm_ids],
-            x0[:5],
-            jac=lambda x5: sjac(np.concatenate([x5, frozen]))[np.asarray(atm_ids)][:, :5],
-            method="lm", max_nfev=60)
-        stage1 = np.concatenate([r5.x, frozen])
-        total_nfev += int(r5.nfev)
-        _score([stage1])
-        total_nfev += 1
-        if pre_scored and pre_scored[0][1] is stage1:
-            res = _gate()           # only re-check if stage 1 is now best
-            if res is not None:
-                return res
+        # smile's m=0 quote, and drops only the off-money smile quotes).
+        # Wrapped in a closure: the sequential sweep runs it CONCURRENTLY
+        # with the stage-1-independent starts (curated + x0).
+        def run_stage1():
+            atm_ids = [i for i, p in enumerate(eng.products)
+                       if abs(p.strike - eng._fwd0[i]) < 1e-10]
+            frozen = x0[5:]
+            r5 = least_squares(
+                lambda x5: sfun(np.concatenate([x5, frozen]))[atm_ids],
+                x0[:5],
+                jac=lambda x5: sjac(
+                    np.concatenate([x5, frozen]))[np.asarray(atm_ids)][:, :5],
+                method="lm", max_nfev=60)
+            return np.concatenate([r5.x, frozen]), int(r5.nfev)
 
         # ---- stage 2: deterministic multi-start ---------------------------
+        # start priority order: stage1, curated basins, x0, jittered
+        # (max_starts truncates in that order; jitter needs stage1)
         rng = np.random.default_rng(rng_seed)
-        # honor max_starts even below the 5 deterministic starts: keep them
-        # in priority order (stage1, curated basins, x0)
-        starts = ([stage1] + curated + [x0])[:max_starts]
-        while len(starts) < max_starts:
-            w = stage1.copy()
-            w[:5] *= rng.uniform(0.5, 2.0, 5)
-            w[5] = rng.uniform(-0.3, 1.5)      # blend (the data can want >1)
-            w[6] = rng.uniform(0.3, 1.8)       # nu (sqrt-scaling units)
-            w[7] = rng.uniform(-0.95, 0.95)    # rho (sign degenerate with nu)
-            starts.append(w)
+
+        def jittered_starts(stage1, count):
+            out = []
+            for _ in range(count):
+                w = stage1.copy()
+                w[:5] *= rng.uniform(0.5, 2.0, 5)
+                w[5] = rng.uniform(-0.3, 1.5)  # blend (the data can want >1)
+                w[6] = rng.uniform(0.3, 1.8)   # nu (sqrt-scaling units)
+                w[7] = rng.uniform(-0.95, 0.95)  # rho (sign degenerate w/ nu)
+                out.append(w)
+            return out
 
         # quick sweep on the REDUCED-path engine to locate the basins at a
         # quarter of the path cost. "sequential" (default): one capped
@@ -280,6 +280,16 @@ class BenchmarkCalibrationSetup:
         candidates = []
 
         if sweep_mode == "batched":
+            stage1, nfev1 = run_stage1()
+            total_nfev += nfev1 + 1
+            _score([stage1])
+            if pre_scored and pre_scored[0][1] is stage1:
+                res = _gate()       # only re-check if stage 1 is now best
+                if res is not None:
+                    return res
+            starts = ([stage1] + curated + [x0])[:max_starts]
+            starts += jittered_starts(stage1, max_starts - len(starts))
+
             from ..calibration import BatchedLevenbergMarquardt
 
             blm = BatchedLevenbergMarquardt(
@@ -296,15 +306,31 @@ class BenchmarkCalibrationSetup:
             # remote tunnel's ~30 ms dispatch RTT (device compute per call
             # is ~ms; jax dispatch is thread-safe). "sequential" keeps its
             # name for the per-start early-stopping trust region, in
-            # contrast to the lockstep "batched" mode.
+            # contrast to the lockstep "batched" mode. Stage 1 runs on
+            # the MAIN thread while the pool sweeps the starts that do
+            # not depend on it.
             from concurrent.futures import ThreadPoolExecutor
 
             def one_start(s):
                 return least_squares(sfun, s, jac=sjac, method="trf",
                                      x_scale="jac", max_nfev=40)
 
-            with ThreadPoolExecutor(max_workers=min(8, len(starts))) as ex:
-                futures = [ex.submit(one_start, s) for s in starts]
+            independent = (curated + [x0])[:max(0, max_starts - 1)]
+            with ThreadPoolExecutor(max_workers=8) as ex:
+                futures = [ex.submit(one_start, s) for s in independent]
+                stage1, nfev1 = run_stage1()
+                total_nfev += nfev1 + 1
+                _score([stage1])
+                if pre_scored and pre_scored[0][1] is stage1:
+                    res = _gate()   # only re-check if stage 1 is now best
+                    if res is not None:
+                        ex.shutdown(wait=True, cancel_futures=True)
+                        return res
+                if max_starts >= 1:
+                    futures.append(ex.submit(one_start, stage1))
+                futures += [ex.submit(one_start, w) for w in
+                            jittered_starts(stage1,
+                                            max_starts - len(futures))]
                 for fut in futures:
                     try:
                         r = fut.result()
