@@ -269,7 +269,7 @@ class TestContractDelegation:
         pts = [0.6, 1.0, 1.5]
         assert np.allclose(rv.get_histogram(interval_points=pts),
                            rv.values.get_histogram(interval_points=pts))
-        assert rv.get_operator() is None or rv.get_operator() is not None
+        assert rv.get_operator() == rv.values.get_operator()
         assert list(rv.get_realizations_stream())[:3] == \
             list(rv.values.get_realizations_stream())[:3]
         assert rv.equals(rv.values)

@@ -217,3 +217,19 @@ class TestNestedStochVolSettings:
         assert setup.sweep_engine() is setup.engine
         setup2 = build_benchmark_calibration(num_paths=1024)
         assert setup2.sweep_engine() is setup2.engine  # floor >= paths
+
+    def test_sweep_engine_reduction_branch(self):
+        from finmath_tpu.models.lmm.benchmark_calibration import (
+            build_benchmark_calibration,
+        )
+
+        setup = build_benchmark_calibration(num_paths=65_536)
+        sweep = setup.sweep_engine()
+        assert sweep is not setup.engine
+        assert sweep.num_paths == 16_384     # paths // 4 above the floor
+        assert setup.sweep_engine() is sweep  # cached
+        # antithetic rounding: the reduced count stays even
+        setup_a = build_benchmark_calibration(num_paths=65_536,
+                                              antithetic=True)
+        sweep_a = setup_a.sweep_engine()
+        assert sweep_a.num_paths % 2 == 0 and sweep_a.num_paths == 16_384

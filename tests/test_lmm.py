@@ -286,4 +286,7 @@ class TestScanModes:
         p0 = setup.covariance.initial_parameters
         v_seg = np.asarray(setup.engine.values(p0))
         v_fus = np.asarray(fused.values(p0))
-        assert np.array_equal(v_seg, v_fus)
+        # measured bit-identical on both CPU and TPU today, but XLA makes
+        # fusion/FMA decisions per program structure, so bit-identity is
+        # not a contract — assert tight numerical agreement instead
+        np.testing.assert_allclose(v_fus, v_seg, rtol=1e-7, atol=1e-9)
