@@ -17,9 +17,13 @@ RandomVariableCuda is created when the Brownian motion is built, :152-153,
 :283). We therefore compile the residual/Jacobian programs once (untimed,
 reported as compile_s in detail) and then time the complete calibration —
 LM loop, simulations, Jacobians, implied-vol inversions — from the initial
-parameter vector. The XLA compile cannot be cached across processes on
-this backend (the TPU plugin does not serialize executables), which is why
-the warmup is explicit.
+parameter vector. The persistent XLA compilation cache (enabled at package
+import, ~/.cache/finmath_tpu/jax) now works cross-process on this backend
+— verified: jit_residuals logs "Persistent compilation cache hit" on a
+repeat run — so compile_s on a warm cache measures mostly remote-service
+round-trip latency, which varies enormously with the tunnel's day
+(observed 5.5 s to 570 s for the same cached program set; the PTX-cache
+analog is JCudaUtils.java:50-53).
 """
 
 import json
