@@ -9,6 +9,13 @@ reductions, and a bit-compatible CPU float oracle for parity checks
 (ref. RandomVariableCuda / RandomVariableFromFloatArray).
 """
 
+import os
+import sys
+
+# allow running straight from a source checkout (inserts the repo root;
+# harmless when the package is pip-installed)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from finmath_tpu.ops.random_variable import RandomVariableTPU

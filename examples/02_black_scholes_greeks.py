@@ -7,6 +7,13 @@ Run: python examples/02_black_scholes_greeks.py
 3. greeks via jax.grad AND via the eager AAD tape.
 """
 
+import os
+import sys
+
+# allow running straight from a source checkout (inserts the repo root;
+# harmless when the package is pip-installed)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import math
 
 import numpy as np

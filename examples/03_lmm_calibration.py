@@ -9,6 +9,13 @@ procedure (analytic warm start -> Monte-Carlo Levenberg-Marquardt with
 exact jacfwd Jacobians), then checkpoints and re-prices deterministically.
 """
 
+import os
+import sys
+
+# allow running straight from a source checkout (inserts the repo root;
+# harmless when the package is pip-installed)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 

@@ -11,6 +11,11 @@ collective (the reference is single-device; SURVEY.md §2/§5).
 """
 
 import os
+import sys
+
+# allow running straight from a source checkout (inserts the repo root;
+# harmless when the package is pip-installed)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 if "JAX_PLATFORMS" not in os.environ:
     # default demo mode: 8 virtual CPU devices
