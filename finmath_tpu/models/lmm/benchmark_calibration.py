@@ -377,42 +377,26 @@ class BenchmarkCalibrationSetup:
         else:
             best_x, best_err = x0, np.inf
 
-        # stage A: the 40-eval re-centering leg of EVERY polish candidate
-        # runs concurrently (independent trust regions; threads overlap
-        # the per-call dispatch RTT like the sweep). This also gives a
-        # better-informed ordering for stage B than the raw scores: the
-        # heavy-tailed basins that score poorly raw are exactly the ones
-        # that re-center lowest.
-        from concurrent.futures import ThreadPoolExecutor
-
-        def recenter(cand):
-            r1 = least_squares(fun, cand, jac=jac, method="trf",
-                               x_scale="jac", max_nfev=40)
-            err1 = float(np.sqrt(np.mean(fun(r1.x) ** 2)))
-            return err1, r1.x, int(r1.nfev)
-
-        recentered = []
-        with ThreadPoolExecutor(max_workers=min(8, max(1, len(polish_list)))) as ex:
-            for fut in [ex.submit(recenter, c) for c in polish_list]:
-                try:
-                    err1, x1, nfev1 = fut.result()
-                except Exception:
-                    continue
-                total_nfev += nfev1 + 1
-                if np.isfinite(err1):
-                    recentered.append((err1, x1))
-        recentered.sort(key=lambda c: c[0])
-
-        # stage B: tight continuation, best re-centered first, with the
-        # original stopping rules (target met / no >3% improvement)
-        for err1, x1 in recentered:
+        # NOTE on a measured negative: re-centering ALL candidates
+        # concurrently (threads) before the tight continuation was tried
+        # and reverted — polish evals run at FULL paths where they are
+        # COMPUTE-bound (~100+ ms each), so threads serialize on the
+        # device and the extra always-run candidates added ~10 s to the
+        # 81,920-path row (17.7 s -> ~30 s) for a 0.0015%-rms19 gain.
+        # The sweep threads pay off precisely because its reduced-path
+        # evals are dispatch-bound; the polish stays sequential with
+        # early stopping.
+        for cand in polish_list:
             try:
-                r = least_squares(fun, x1, jac=jac, method="trf",
+                r1 = least_squares(fun, cand, jac=jac, method="trf",
+                                   x_scale="jac", max_nfev=40)
+                r = least_squares(fun, r1.x, jac=jac, method="trf",
                                   x_scale="jac", max_nfev=max_nfev,
                                   ftol=1e-14, xtol=1e-14, gtol=1e-14)
-                total_nfev += int(r.nfev) + 1
+                total_nfev += int(r1.nfev) + int(r.nfev)
+                err1 = float(np.sqrt(np.mean(fun(r1.x) ** 2)))
                 err2 = float(np.sqrt(np.mean(fun(r.x) ** 2)))
-                err, x_new = (err1, x1) if err1 <= err2 else (err2, r.x)
+                err, x_new = (err1, r1.x) if err1 <= err2 else (err2, r.x)
             except Exception:
                 continue
             improved = err < best_err * 0.97
