@@ -29,7 +29,9 @@ import numpy as np
 def main():
     import jax
 
-    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    # the Pallas kernels are TPU-only (TPU memory spaces + PRNG
+    # primitives); a GPU backend must not take this branch
+    on_tpu = jax.devices()[0].platform == "tpu"
 
     # ---- 1. BS kernel vs scan vs analytic ---------------------------
     from finmath_tpu.models.analytic import black_scholes_option_value

@@ -206,7 +206,12 @@ class BenchmarkCalibrationSetup:
             if target_rms19 is None or not pre_scored:
                 return None
             gate_x = pre_scored[0][1]
-            if rms19(gate_x) > target_rms19:
+            # NaN-safe: fire only on a FINITE rms19 at/below target (the
+            # scored ranking nan_to_nums its residuals, so a basin whose
+            # implied vols are NaN on this path set can still rank first
+            # — `> target` would let NaN fall through and return garbage
+            # as a converged result)
+            if not (rms19(gate_x) <= target_rms19):
                 return None
             dev = self.deviations(gate_x)
             return LMResult(
@@ -316,7 +321,12 @@ class BenchmarkCalibrationSetup:
                                      x_scale="jac", max_nfev=40)
 
             independent = (curated + [x0])[:max(0, max_starts - 1)]
-            with ThreadPoolExecutor(max_workers=8) as ex:
+            # manual lifecycle (no `with`): the stage-1 gate below must be
+            # able to return WITHOUT joining already-running starts — a
+            # context manager's __exit__ re-blocks on them even after
+            # shutdown(wait=False)
+            ex = ThreadPoolExecutor(max_workers=8)
+            try:
                 futures = [ex.submit(one_start, s) for s in independent]
                 stage1, nfev1 = run_stage1()
                 total_nfev += nfev1 + 1
@@ -324,7 +334,11 @@ class BenchmarkCalibrationSetup:
                 if pre_scored and pre_scored[0][1] is stage1:
                     res = _gate()   # only re-check if stage 1 is now best
                     if res is not None:
-                        ex.shutdown(wait=True, cancel_futures=True)
+                        # return immediately: queued starts are canceled;
+                        # RUNNING ones finish in the background (each is
+                        # bounded at 40 reduced-path evals and only calls
+                        # thread-safe engine functions). iterations
+                        # excludes their work on this rare path.
                         return res
                 if max_starts >= 1:
                     futures.append(ex.submit(one_start, stage1))
@@ -338,6 +352,8 @@ class BenchmarkCalibrationSetup:
                         continue
                     total_nfev += int(r.nfev)
                     candidates.append(r.x)
+            finally:
+                ex.shutdown(wait=False, cancel_futures=True)
         else:
             raise ValueError(f"unknown sweep_mode {sweep_mode!r}")
 

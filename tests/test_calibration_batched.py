@@ -155,3 +155,30 @@ class TestEngineBatched:
         assert np.isfinite(res.rms_error)
         with pytest.raises(ValueError):
             setup.calibrate_multistart(sweep_mode="nope")
+
+
+class TestGateNaNSafety:
+    def test_gate_rejects_nan_rms(self, monkeypatch):
+        """A basin whose rms19 evaluates to NaN must NOT fire the target
+        gate (regression: `> target` let NaN fall through and returned
+        garbage as a converged result without running any optimizer)."""
+        from finmath_tpu.models.lmm.benchmark_calibration import (
+            build_benchmark_calibration,
+        )
+
+        setup = build_benchmark_calibration(num_paths=512)
+        real_dev = setup.deviations
+        calls = {"n": 0}
+
+        def nan_then_real(params):
+            calls["n"] += 1
+            if calls["n"] <= 2:  # the gate-0 and stage-1 gate evaluations
+                return np.full(len(setup.products), np.nan)
+            return real_dev(params)
+
+        monkeypatch.setattr(setup, "deviations", nan_then_real)
+        res = setup.calibrate_multistart(target_rms19=0.5, max_starts=2,
+                                         max_nfev=10)
+        assert np.isfinite(res.rms_error), \
+            "NaN-rms basin was returned by the gate"
+        assert calls["n"] > 2, "optimizer never ran past the gate"
