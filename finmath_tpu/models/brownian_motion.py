@@ -165,6 +165,108 @@ class BrownianMotion:
     getCloneWithModifiedSeed = get_clone_with_modified_seed
 
 
+def finmath_mersenne_increments(dts: np.ndarray, num_factors: int,
+                                num_paths: int, seed: int,
+                                dtype=np.float32) -> np.ndarray:
+    """Bit-exact reconstruction of finmath-lib's
+    ``BrownianMotionFromMersenneRandomNumbers`` increment realization:
+    ``[steps, factors, paths]`` Brownian increments, increment
+    ``(t, f, p) = AS241_icdf(u) * sqrt(dt_t)`` where the uniforms ``u``
+    come from ONE sequential commons-math3 MersenneTwister stream consumed
+    in finmath's loop order — path OUTER, then time, then factor
+    (finmath-lib BrownianMotionFromMersenneRandomNumbers
+    .doGenerateBrownianMotion(); the reference injects this Brownian with
+    the device factory at LIBORMarketModelCalibrationTest.java:267 and
+    LIBORMarketModelCalibrationATMTest.java:283, so CPU and GPU legs price
+    the SAME realization). Because paths are independent subsequences of
+    the stream, the first k paths of an n-path realization equal the
+    k-path realization exactly.
+
+    Generation is in float64 like finmath's; ``dtype=float32`` (default)
+    reproduces what the device factory stores, ``float64`` the host leg.
+    """
+    from ..native.host_rng import HostRandomGenerator
+
+    dts = np.asarray(dts, dtype=np.float64)
+    steps = len(dts)
+    gen = HostRandomGenerator(seed, "finmath_mersenne")
+    # one sequential stream, path-major: normals[p, t, f]
+    z = gen.normals_f64(num_paths * steps * num_factors).reshape(
+        num_paths, steps, num_factors)
+    z *= np.sqrt(dts)[None, :, None]
+    return np.ascontiguousarray(z.transpose(1, 2, 0)).astype(dtype)
+
+
+class BrownianMotionFinmathMersenne:
+    """BrownianMotion over the bit-exact finmath MersenneTwister
+    realization (see ``finmath_mersenne_increments``). Drop-in for the
+    engine's ``increments=`` injection and for eager factory use —
+    the TPU analog of the reference's primary configuration
+    (host-Mersenne increments + device factory, ATM test :283)."""
+
+    def __init__(self, time_discretization: TimeDiscretization,
+                 num_factors: int, num_paths: int, seed: int,
+                 factory=None, dtype=np.float32):
+        self._td = time_discretization
+        self._num_factors = int(num_factors)
+        self._num_paths = int(num_paths)
+        self._seed = int(seed)
+        self._factory = factory
+        self._dtype = dtype
+        self._increments: Optional[np.ndarray] = None
+
+    def _lazy_init(self) -> np.ndarray:
+        if self._increments is None:
+            steps = self._td.get_number_of_time_steps()
+            dts = np.asarray([self._td.get_time_step(m) for m in range(steps)])
+            self._increments = finmath_mersenne_increments(
+                dts, self._num_factors, self._num_paths, self._seed,
+                self._dtype)
+        return self._increments
+
+    @property
+    def increments(self) -> np.ndarray:
+        return self._lazy_init()
+
+    def get_brownian_increment(self, time_index: int, factor: int = 0):
+        inc = self._lazy_init()
+        time = self._td.get_time(time_index + 1)
+        if self._factory is not None:
+            return self._factory.create_random_variable(time, inc[time_index, factor])
+        # constructor, not .of: the host array must be uploaded, .of is
+        # the trusted already-on-device wrap
+        return RandomVariableTPU(time, inc[time_index, factor])
+
+    def get_time_discretization(self) -> TimeDiscretization:
+        return self._td
+
+    def get_number_of_factors(self) -> int:
+        return self._num_factors
+
+    def get_number_of_paths(self) -> int:
+        return self._num_paths
+
+    def get_seed(self) -> int:
+        return self._seed
+
+    def get_random_variable_for_constant(self, value: float):
+        if self._factory is not None:
+            return self._factory.create_random_variable(0.0, value)
+        return RandomVariableTPU(0.0, value)
+
+    def get_clone_with_modified_seed(self, seed: int) -> "BrownianMotionFinmathMersenne":
+        return BrownianMotionFinmathMersenne(
+            self._td, self._num_factors, self._num_paths, seed,
+            self._factory, self._dtype)
+
+    getBrownianIncrement = get_brownian_increment
+    getTimeDiscretization = get_time_discretization
+    getNumberOfFactors = get_number_of_factors
+    getNumberOfPaths = get_number_of_paths
+    getRandomVariableForConstant = get_random_variable_for_constant
+    getCloneWithModifiedSeed = get_clone_with_modified_seed
+
+
 class BrownianMotionHostRandom:
     """All-host Brownian motion: sequential native RNG (MT19937 or the
     java.util.Random LCG) + inverse-CDF normals, wrapped in the CPU float

@@ -95,10 +95,17 @@ class BenchmarkCalibrationSetup:
                 # an identical duplicate program set
                 self._sweep_engine = eng
                 return eng
+            # injected realizations restrict to the path prefix — for the
+            # finmath Mersenne stream (path-outer generation) the first k
+            # paths ARE the k-path realization
+            inc = eng._inc_np
+            if inc is not None:
+                inc = inc[:, :, :paths]
             self._sweep_engine = LMMValuationEngine(
                 self.model, list(eng.products), paths, eng.num_factors,
                 eng.seed, mesh=eng.mesh, dtype=eng.dtype,
-                scan_mode=eng.scan_mode, antithetic=eng.antithetic)
+                scan_mode=eng.scan_mode, antithetic=eng.antithetic,
+                increments=inc)
         return self._sweep_engine
 
     def calibrate(self, max_iterations: int = 30, accuracy: float = 1e-6,
@@ -441,7 +448,15 @@ def build_benchmark_calibration(num_paths: int = 8192, num_factors: int = 5,
                                 seed: int = 314151, mesh=None,
                                 antithetic: bool = False,
                                 dtype=None,
+                                brownian: str = "threefry",
                                 ) -> BenchmarkCalibrationSetup:
+    """``brownian``: "threefry" (engine's own counter-based device stream,
+    default) or "finmath_mersenne" — the latter injects the BIT-EXACT
+    realization of the reference benchmark's
+    ``BrownianMotionFromMersenneRandomNumbers(td, 6, paths, 314151)``
+    (LIBORMarketModelCalibrationTest.java:267), so results are comparable
+    to the published rows on the SAME paths, not merely the same seed
+    convention."""
     fc = ForwardCurveFromForwards(FIXING_TIMES, FORWARD_RATES, DT)
     dc = DiscountCurveFromForwardCurve(fc, horizon=50.0)
 
@@ -476,11 +491,27 @@ def build_benchmark_calibration(num_paths: int = 8192, num_factors: int = 5,
         measure="spot", state_space="normal",
         use_numeraire_adjustment=False,  # ref. passes discountCurve=null
     )
+    increments = None
+    if brownian == "finmath_mersenne":
+        from ..brownian_motion import finmath_mersenne_increments
+
+        # the reference's Brownian: numberOfFactors + 1 = 6 factors on the
+        # 40-step simulation grid (factors 0-4 drive the LIBORs, factor 5
+        # the stochastic-volatility process via BrownianMotionView {0, 5},
+        # benchmark test :267-269), float-cast like the device factory leg
+        steps = libor_td.get_number_of_time_steps()
+        dts = np.asarray([libor_td.get_time_step(m) for m in range(steps)])
+        increments = finmath_mersenne_increments(
+            dts, num_factors + 1, num_paths, seed)
+    elif brownian != "threefry":
+        raise ValueError(f"unknown brownian {brownian!r}")
+
     # segmented scan mode: the multistart calibration evaluates these
     # programs hundreds of times — warm runtime beats compile time here
     engine = LMMValuationEngine(model, products, num_paths, num_factors,
                                 seed, mesh=mesh, scan_mode="segmented",
-                                antithetic=antithetic, dtype=dtype)
+                                antithetic=antithetic, dtype=dtype,
+                                increments=increments)
     return BenchmarkCalibrationSetup(
         engine=engine, model=model, covariance=covariance, products=products
     )

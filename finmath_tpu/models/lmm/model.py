@@ -252,14 +252,32 @@ class LMMValuationEngine:
                  num_paths: int, num_factors: int, seed: int = 31415,
                  mesh=None, path_axis: str = "paths",
                  scheme: str = "euler", dtype=None,
-                 scan_mode: str = "fused", antithetic: bool = False):
+                 scan_mode: str = "fused", antithetic: bool = False,
+                 increments=None):
         """``mesh``: optional jax.sharding.Mesh — Monte-Carlo paths are then
         data-parallel over its ``path_axis``: each device folds its own RNG
         key, simulates num_paths/n_devices paths locally, and every
         expectation becomes a local f64 sum + psum over ICI. The parameter
         vector stays replicated, so jacfwd Jacobians flow through the
         collective unchanged (the multi-chip story of SURVEY.md §2/§5 —
-        the reference is single-device)."""
+        the reference is single-device).
+
+        ``increments``: optional injected Brownian increments — a
+        ``[num_steps, num_rng_factors, num_paths]`` array (already scaled
+        by sqrt(dt); ``num_rng_factors`` = num_factors, +1 when the
+        covariance has stochastic volatility) or an object with an
+        ``.increments`` attribute of that shape (e.g.
+        ``BrownianMotionFinmathMersenne``). Replaces the engine's own
+        Threefry stream, so the engine can price/calibrate on an EXTERNAL
+        realization — finmath's factory-injection pattern where host
+        Mersenne increments drive the device backend
+        (LIBORMarketModelCalibrationATMTest.java:283,
+        MonteCarloBlackScholesModelTest.java:78-91), used to settle
+        fidelity questions on the reference's own path realization and to
+        validate the Pallas kernels against the scan engine on identical
+        normals. Composes with ``mesh`` (increments are sharded over the
+        path axis) and with the f64 oracle mode (same stream, different
+        arithmetic); mutually exclusive with ``antithetic``."""
         self.model = model
         self.num_paths = int(num_paths)
         self.num_factors = int(num_factors)
@@ -288,6 +306,14 @@ class LMMValuationEngine:
         self.antithetic = bool(antithetic)
         if self.antithetic and self.num_paths % 2:
             raise ValueError("antithetic sampling requires an even num_paths")
+        if increments is not None and self.antithetic:
+            raise ValueError(
+                "antithetic and injected increments are mutually exclusive: "
+                "the injected realization defines every path")
+        self._inc_np = None
+        if increments is not None:
+            inc = getattr(increments, "increments", increments)
+            self._inc_np = np.asarray(inc)
         if mesh is not None:
             n_dev = int(np.prod(mesh.devices.shape))
             if self.num_paths % n_dev:
@@ -425,28 +451,71 @@ class LMMValuationEngine:
             [float(dc.get_discount_factor(float(tenor[p.exercise_index])))
              for p in self.products])
 
-        self._residual_fn = jax.jit(self._shard(self._build_residual_fn()))
-        self._jac_fn = jax.jit(jax.jacfwd(self._shard(self._build_residual_fn())))
-        self._values_fn = jax.jit(self._shard(self._build_values_fn()))
+        # stochastic volatility consumes one extra Brownian factor
+        self._n_rng_factors = (self.num_factors + 1
+                               if model.covariance.has_stoch_vol
+                               else self.num_factors)
+        if self._inc_np is not None:
+            want = (self.num_steps, self._n_rng_factors, self.num_paths)
+            if self._inc_np.shape != want:
+                raise ValueError(
+                    f"injected increments have shape {self._inc_np.shape}, "
+                    f"engine needs [steps, rng_factors, paths] = {want}")
+
+        self._residual_fn = self._wrap_public(self._build_residual_fn())
+        self._jac_fn = self._wrap_public(self._build_residual_fn(),
+                                         transform=jax.jacfwd)
+        self._values_fn = self._wrap_public(self._build_values_fn())
 
     # ------------------------------------------------------------------
-    def _shard(self, fn):
-        """Wrap a params -> per-product-vector function in shard_map over
-        the path axis (identity when no mesh was given)."""
-        if self.mesh is None:
-            return fn
-        from jax.sharding import PartitionSpec as P
+    def _wrap_public(self, core, transform=None):
+        """Turn a ``core(params, inc) -> per-product-vector`` closure into
+        a jitted public ``fn(params)``:
 
-        return jax.shard_map(
-            fn, mesh=self.mesh, in_specs=P(), out_specs=P()
-        )
+        * no injection: ``inc`` is closed over as None (the sim uses its
+          own Threefry stream), optionally shard_mapped over the mesh;
+        * injection: the increments become an explicit sharded argument
+          (in_spec partitions the path axis over the mesh) closed over as
+          a device constant at the jit boundary.
+
+        ``transform`` (e.g. jacfwd) is applied to the params-only function
+        so Jacobians differentiate w.r.t. params, never the increments."""
+        mesh = self.mesh
+        if mesh is None:
+            if self._inc_np is None:
+                fn = lambda params: core(params, None)  # noqa: E731
+            else:
+                inc = jnp.asarray(self._inc_np)
+                fn = lambda params: core(params, inc)   # noqa: E731
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            if self._inc_np is None:
+                smapped = jax.shard_map(
+                    lambda params: core(params, None),
+                    mesh=mesh, in_specs=P(), out_specs=P())
+                fn = smapped
+            else:
+                smapped = jax.shard_map(
+                    core, mesh=mesh,
+                    in_specs=(P(), P(None, None, self.path_axis)),
+                    out_specs=P())
+                inc = jnp.asarray(self._inc_np)
+                fn = lambda params: smapped(params, inc)  # noqa: E731
+        if transform is not None:
+            fn = transform(fn)
+        return jax.jit(fn)
 
     # ------------------------------------------------------------------
-    def _build_sim(self, params):
+    def _build_sim(self, params, inc=None):
         """Build the per-step simulation body: returns ``(sim_step,
         carry0)`` where ``sim_step((L, N, V), s) -> (L, N, V)`` performs
         spot-account accrual + the Euler/log-Euler update for simulation
-        step ``s`` (shared by the fused and segmented scan modes)."""
+        step ``s`` (shared by the fused and segmented scan modes).
+
+        ``inc``: optional injected Brownian increments, local shape
+        ``[S, n_rng_factors, paths]``, already scaled by sqrt(dt) — used
+        verbatim in place of the Threefry draws."""
         model = self.model
         n = model.num_libors
         cov = model.covariance
@@ -555,8 +624,12 @@ class LMMValuationEngine:
             # and upcast: the float64 oracle mode then consumes the exact
             # same Brownian stream as the float32 production engine, so an
             # f32-vs-f64 price comparison isolates arithmetic error from
-            # Monte-Carlo noise (the 1e-6 north-star parity contract)
-            if self.antithetic:
+            # Monte-Carlo noise (the 1e-6 north-star parity contract).
+            # An injected realization (finmath Mersenne, Sobol, ...) is
+            # consumed verbatim instead — already scaled by sqrt(dt).
+            if inc is not None:
+                dw_all = inc[s].astype(dtype)
+            elif self.antithetic:
                 # antithetic pairs: [z, -z] along the path axis (each
                 # device mirrors its own local block under a mesh)
                 z = jax.random.normal(
@@ -564,12 +637,13 @@ class LMMValuationEngine:
                     (n_rng_factors, paths // 2), dtype=jnp.float32,
                 )
                 z = jnp.concatenate([z, -z], axis=1)
+                dw_all = z.astype(dtype) * sqrt_dts[s]
             else:
                 z = jax.random.normal(
                     jax.random.fold_in(base_key, s), (n_rng_factors, paths),
                     dtype=jnp.float32,
                 )
-            dw_all = z.astype(dtype) * sqrt_dts[s]
+                dw_all = z.astype(dtype) * sqrt_dts[s]
             dw = dw_all[:F]
             # explicit HIGHEST precision: TPU f32 contractions otherwise
             # run as reduced-precision bf16 passes (~1e-4 relative), which
@@ -616,7 +690,7 @@ class LMMValuationEngine:
         return sim_step, (L, N, V)
 
     # ------------------------------------------------------------------
-    def _simulate_collect(self, params, collect):
+    def _simulate_collect(self, params, collect, inc=None):
         """Run the simulation and apply ``collect(e, ev, L, N)`` (e =
         exercise tenor index, ev = event ordinal; fixed output shape
         across events) at every exercise step, BEFORE that step's accrual
@@ -634,14 +708,14 @@ class LMMValuationEngine:
         ~25% faster warm; returns the EVENT-stacked pytree (leading axis =
         event ordinal); gather with event ordinals."""
         if self.scan_mode == "segmented":
-            return self._simulate_collect_segmented(params, collect)
+            return self._simulate_collect_segmented(params, collect, inc)
         n = self.model.num_libors
         paths = self._local_paths
         dtype = self.dtype
         S = self.num_steps
         collect_at = jnp.asarray(self._collect_at_np)         # [S] int
         collect_ev = jnp.asarray(self._collect_ev_np)         # [S] int
-        sim_step, carry0 = self._build_sim(params)
+        sim_step, carry0 = self._build_sim(params, inc)
 
         def collect_op(operand):
             return collect(*operand)
@@ -682,10 +756,10 @@ class LMMValuationEngine:
         _, ys = jax.lax.scan(step, carry0, jnp.arange(s_stop))
         return ys
 
-    def _simulate_collect_segmented(self, params, collect):
+    def _simulate_collect_segmented(self, params, collect, inc=None):
         """Segmented variant: python-level loop over exercise events, one
         ``lax.scan`` per segment, collect inlined. Event-stacked output."""
-        sim_step, carry = self._build_sim(params)
+        sim_step, carry = self._build_sim(params, inc)
 
         def scan_body(c, s):
             return sim_step(c, s), None
@@ -704,7 +778,7 @@ class LMMValuationEngine:
         return jax.tree.map(lambda *a: jnp.stack(a), *ys)
 
     # ------------------------------------------------------------------
-    def _simulate_and_value(self, params):
+    def _simulate_and_value(self, params, inc=None):
         """Simulate once and value the CURRENT EVENT's products at each
         exercise step (padded to the largest per-event group): the
         collector computes a [P_max, n] @ [n, paths] annuity matmul on the
@@ -747,7 +821,7 @@ class LMMValuationEngine:
             inv_safe = jnp.where(jnp.isfinite(inv_n), inv_n, 0.0)
             return raw, jnp.sum(inv_safe)
 
-        raw_steps, inv_steps = self._simulate_collect(params, collect)
+        raw_steps, inv_steps = self._simulate_collect(params, collect, inc)
         # gather each product's own event (by sim step in fused mode, by
         # event ordinal in segmented mode) and slot, then reduce once
         if self.scan_mode == "segmented":
@@ -778,8 +852,8 @@ class LMMValuationEngine:
         model = self.model
         df_ex = jnp.asarray(self._df_exercise)
 
-        def values(params):
-            raw, mean_inv = self._simulate_and_value(params)
+        def values(params, inc=None):
+            raw, mean_inv = self._simulate_and_value(params, inc)
             if model.use_numeraire_adjustment:
                 # deterministic numeraire control: E[N(0)/N(T_e)] -> df(T_e).
                 # mean_inv collapses to exactly 0 only when EVERY path's
@@ -811,8 +885,8 @@ class LMMValuationEngine:
         target = jnp.asarray(self._target)
         weight = jnp.asarray(self._weight)
 
-        def residuals(params):
-            model_quote = self._quotes_from_values(values_fn(params))
+        def residuals(params, inc=None):
+            model_quote = self._quotes_from_values(values_fn(params, inc))
             return weight * (model_quote - target)
 
         return residuals
@@ -848,10 +922,10 @@ class LMMValuationEngine:
     def _ensure_batched(self):
         if getattr(self, "_residual_batched_fn", None) is None:
             base = self._build_residual_fn()
-            self._residual_batched_fn = jax.jit(
-                self._shard(jax.vmap(base)))
-            self._jac_batched_fn = jax.jit(
-                self._shard(jax.vmap(jax.jacfwd(base))))
+            self._residual_batched_fn = self._wrap_public(
+                jax.vmap(base, in_axes=(0, None)))
+            self._jac_batched_fn = self._wrap_public(
+                jax.vmap(jax.jacfwd(base), in_axes=(0, None)))
 
     def residuals_batched(self, params_batch) -> np.ndarray:
         """Residuals for a [K, n_params] batch -> [K, n_products]."""

@@ -84,19 +84,103 @@ struct JavaLcg {
     }
 };
 
+// Commons-math3 MersenneTwister — the exact generator behind finmath-lib's
+// net.finmath.randomnumbers.MersenneTwister (a thin wrapper around
+// org.apache.commons.math3.random.MersenneTwister), which drives
+// BrownianMotionFromMersenneRandomNumbers, the Brownian stream of EVERY
+// reference benchmark leg (reference injects it with the device factory at
+// LIBORMarketModelCalibrationTest.java:267 and
+// LIBORMarketModelCalibrationATMTest.java:283). Differs from the canonical
+// generator above in two ways, both load-bearing for bit-exactness:
+//   1. seeding: a long seed becomes init_by_array with the TWO-word key
+//      {(uint32)(seed >> 32), (uint32)seed} (commons-math3
+//      MersenneTwister.setSeed(long) -> setSeed(int[])), not init_genrand;
+//   2. nextDouble(): (next(26) << 26 | next(26)) * 2^-52 (commons-math3
+//      BitsStreamGenerator.nextDouble()), not genrand_res53's 27+26 bits.
+struct Cm3MersenneTwister {
+    static constexpr int N = 624, M = 397;
+    uint32_t mt_[N];
+    int mti_;
+
+    void init_genrand(uint32_t s) {
+        mt_[0] = s;
+        for (int i = 1; i < N; ++i)
+            mt_[i] = 1812433253u * (mt_[i - 1] ^ (mt_[i - 1] >> 30)) + i;
+        mti_ = N;
+    }
+
+    void init_by_array(const uint32_t* key, int key_length) {
+        init_genrand(19650218u);
+        int i = 1, j = 0;
+        for (int k = (N > key_length ? N : key_length); k; --k) {
+            mt_[i] = (mt_[i] ^ ((mt_[i - 1] ^ (mt_[i - 1] >> 30)) * 1664525u))
+                     + key[j] + static_cast<uint32_t>(j);
+            ++i; ++j;
+            if (i >= N) { mt_[0] = mt_[N - 1]; i = 1; }
+            if (j >= key_length) j = 0;
+        }
+        for (int k = N - 1; k; --k) {
+            mt_[i] = (mt_[i] ^ ((mt_[i - 1] ^ (mt_[i - 1] >> 30)) * 1566083941u))
+                     - static_cast<uint32_t>(i);
+            ++i;
+            if (i >= N) { mt_[0] = mt_[N - 1]; i = 1; }
+        }
+        mt_[0] = 0x80000000u;
+    }
+
+    explicit Cm3MersenneTwister(uint64_t seed) {
+        const uint32_t key[2] = {static_cast<uint32_t>(seed >> 32),
+                                 static_cast<uint32_t>(seed)};
+        init_by_array(key, 2);
+    }
+
+    uint32_t next_word() {
+        if (mti_ >= N) {
+            uint32_t y;
+            for (int k = 0; k < N - M; ++k) {
+                y = (mt_[k] & 0x80000000u) | (mt_[k + 1] & 0x7fffffffu);
+                mt_[k] = mt_[k + M] ^ (y >> 1) ^ ((y & 1u) ? 0x9908b0dfu : 0u);
+            }
+            for (int k = N - M; k < N - 1; ++k) {
+                y = (mt_[k] & 0x80000000u) | (mt_[k + 1] & 0x7fffffffu);
+                mt_[k] = mt_[k + (M - N)] ^ (y >> 1) ^ ((y & 1u) ? 0x9908b0dfu : 0u);
+            }
+            y = (mt_[N - 1] & 0x80000000u) | (mt_[0] & 0x7fffffffu);
+            mt_[N - 1] = mt_[M - 1] ^ (y >> 1) ^ ((y & 1u) ? 0x9908b0dfu : 0u);
+            mti_ = 0;
+        }
+        uint32_t y = mt_[mti_++];
+        y ^= y >> 11;
+        y ^= (y << 7) & 0x9d2c5680u;
+        y ^= (y << 15) & 0xefc60000u;
+        y ^= y >> 18;
+        return y;
+    }
+
+    double next_double() {
+        // commons-math3 BitsStreamGenerator.nextDouble(): two 26-bit
+        // draws (top bits of fresh words), 52-bit mantissa, scale 2^-52;
+        // sequence the draws explicitly (C++ '|' is unsequenced)
+        const uint64_t hi = static_cast<uint64_t>(next_word() >> 6) << 26;
+        const uint64_t lo = static_cast<uint64_t>(next_word() >> 6);
+        return static_cast<double>(hi | lo) * 0x1.0p-52;
+    }
+};
+
 struct Generator {
-    int algorithm;  // 0 = mt19937, 1 = java lcg
+    int algorithm;  // 0 = mt19937, 1 = java lcg, 2 = commons-math3 mt
     std::mt19937 mt;  // 32-bit MT19937: std::mt19937(seed) seeds exactly
-                      // like the canonical init_genrand (finmath's
-                      // MersenneTwister is the same reference generator)
+                      // like the canonical init_genrand
     JavaLcg lcg;
+    Cm3MersenneTwister cm3;
     Generator(int algo, uint64_t seed)
-        : algorithm(algo), mt(static_cast<uint32_t>(seed)), lcg(seed) {}
+        : algorithm(algo), mt(static_cast<uint32_t>(seed)), lcg(seed),
+          cm3(seed) {}
     double uniform() {
         if (algorithm == 1) return lcg.next_double();
+        if (algorithm == 2) return cm3.next_double();
         // canonical genrand_res53: 53-bit uniform in [0, 1) from two
-        // 32-bit outputs — the double construction finmath's
-        // MersenneTwister.nextDouble() uses
+        // 32-bit outputs
         const double a = static_cast<double>(mt() >> 5);   // 27 bits
         const double b = static_cast<double>(mt() >> 6);   // 26 bits
         return (a * 67108864.0 + b) * (1.0 / 9007199254740992.0);
@@ -131,6 +215,24 @@ void rng_fill_normal(void* gen, float* out, size_t n, double stddev) {
         double u = g->uniform();
         if (u <= 0.0) u = 0x1.0p-54;
         out[i] = static_cast<float>(inverse_normal_cdf(u) * stddev);
+    }
+}
+
+// double-precision variants: finmath generates Brownian increments in
+// double (BrownianMotionFromMersenneRandomNumbers computes
+// icdf(uniform) * sqrt(dt) in double; only the device factory casts to
+// float) — the f64 stream is what bit-exact reconstruction consumes
+void rng_fill_uniform_f64(void* gen, double* out, size_t n) {
+    auto* g = static_cast<Generator*>(gen);
+    for (size_t i = 0; i < n; ++i) out[i] = g->uniform();
+}
+
+void rng_fill_normal_f64(void* gen, double* out, size_t n, double stddev) {
+    auto* g = static_cast<Generator*>(gen);
+    for (size_t i = 0; i < n; ++i) {
+        double u = g->uniform();
+        if (u <= 0.0) u = 0x1.0p-54;
+        out[i] = inverse_normal_cdf(u) * stddev;
     }
 }
 
