@@ -173,7 +173,13 @@ def bench_stochvol_calibration(num_paths):
     ref = {81_920: (364.42, 49.46, 0.00198),
            163_840: (719.33, 51.70, 0.00480)}[num_paths]
 
-    setup = build_benchmark_calibration(num_paths=num_paths, seed=314151)
+    # round-3: calibrate on the reference's OWN Brownian realization (the
+    # bit-exact commons-math3 Mersenne stream its factory-injection tests
+    # use) — wall AND fit are then same-paths comparable, not merely
+    # same-seed-convention. Host stream generation is one-time setup,
+    # excluded from the timed region like compilation.
+    setup = build_benchmark_calibration(num_paths=num_paths, seed=314151,
+                                        brownian="finmath_mersenne")
     # one-time compilation, untimed (same methodology as the headline);
     # the multistart's reduced-path sweep engine is warmed too. The five
     # independent programs compile concurrently (see _warm_concurrently).
@@ -200,6 +206,7 @@ def bench_stochvol_calibration(num_paths):
     rms19 = float(np.sqrt(np.sum(dev ** 2) / 19))
     return {
         "paths": num_paths,
+        "brownian": "finmath_mersenne(314151) — the reference's exact realization",
         "wall_s": round(wall, 3),
         "compile_s": round(compile_s, 3),
         "rms15": round(rms15, 6),
@@ -210,6 +217,11 @@ def bench_stochvol_calibration(num_paths):
         "reference_rms19": ref[2],
         "vs_reference_cpu": round(ref[0] / wall, 2),
         "vs_reference_gpu": round(ref[1] / wall, 2),
+        # per-stage timings + candidate counts so the row is
+        # self-explaining (gate -> stage1 -> sweep -> rank -> polish)
+        "stages": {k: (round(v, 3) if isinstance(v, float) else v)
+                   for k, v in result.stages.items()},
+        "history_rms": [round(h, 6) for h in result.history[:40]],
     }
 
 
@@ -290,8 +302,11 @@ def bench_eager_ops():
     def chain(x):
         return rv_chain(x).get_average()
 
+    from finmath_tpu.ops.lazy import RandomVariableTPULazy, averages
+
     out = {}
     for name, cls in (("tpu_eager", RandomVariableTPU),
+                      ("tpu_lazy", RandomVariableTPULazy),
                       ("cpu_float", RandomVariableFloat)):
         x = cls(0.0, vals)
         chain(x)  # warm
@@ -302,6 +317,26 @@ def bench_eager_ops():
             ts.append(time.perf_counter() - t0)
         out[name] = {"wall_ms": round(float(min(ts)) * 1000, 3),
                      "avg": float(avg)}
+
+    # lazy-eager batching across K independent chains: ONE flush for all
+    # pending work (a portfolio-wide dispatch) — with the recorded-op API
+    # the number of device round trips is decoupled from the op count,
+    # restoring the reference's eager break-even story on TPU
+    # (/root/reference/README.md:24-28) structurally instead of per-op
+    K = 8
+    def lazy_batched():
+        roots = [rv_chain(RandomVariableTPULazy(0.0, vals)) for _ in range(K)]
+        return averages(*roots)
+    lazy_batched()  # warm
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        avgs = lazy_batched()
+        ts.append(time.perf_counter() - t0)
+    out["tpu_lazy_8chains_1flush"] = {
+        "wall_ms": round(float(min(ts)) * 1000, 3),
+        "per_chain_ms": round(float(min(ts)) * 1000 / K, 3),
+        "avg": float(avgs[0])}
 
     # the framework's prescribed usage: the same chain under jit — ONE
     # dispatch, XLA fuses the elementwise ops (eager per-op dispatch over
@@ -431,10 +466,37 @@ def bench_lmm_pricer_kernels():
         7, PATHS, b.model.num_libors, R.shape[1], e, periods, e, vol_table,
         R, np.asarray(b.model.initial_forwards), np.asarray(b.model.deltas),
         0.5, strike, float(p0[5]), nu, rho))
+
+    # same-normals validation at FULL size (round-2 VERDICT item 5): ONE
+    # shared standard-normal block drives both the Pallas kernel and the
+    # scan engine (injected-increments mode), so the comparison is pure
+    # arithmetic — the former 0.33-0.38% bound was Monte-Carlo noise
+    # between two different PRNG streams masking any tile-level bug
+    # smaller than that; this asserts agreement at the f32-arithmetic
+    # level on all 409,600 paths.
+    from finmath_tpu.ops.lmm_stochvol_kernel import (
+        lmm_stochvol_swaption_kernel_with_normals)
+
+    F1 = R.shape[1] + 1
+    z = np.random.default_rng(123).standard_normal(
+        (e * F1, PATHS)).astype(np.float32)
+    inc_sn = (z.reshape(e, F1, PATHS) * np.float32(np.sqrt(0.5)))
+    eng_sn = LMMValuationEngine(
+        b.model, [SwaptionProduct(e, periods, strike, 0.0, value_unit="VALUE")],
+        PATHS, R.shape[1], 99, scan_mode="segmented", increments=inc_sn)
+    v_eng_sn = float(eng_sn.values(p0)[0])
+    v_k_sn = float(lmm_stochvol_swaption_kernel_with_normals(
+        jnp.asarray(z), b.model.num_libors, R.shape[1], e, periods,
+        vol_table, R, np.asarray(b.model.initial_forwards),
+        np.asarray(b.model.deltas), 0.5, strike, float(p0[5]), nu, rho))
+    same_normals_rel = abs(v_k_sn - v_eng_sn) / abs(v_eng_sn)
+
     out["stochvol_5f"] = {
         "engine_ms": round(t_eng * 1000, 2), "kernel_ms": round(t_k * 1000, 2),
         "speedup": round(t_eng / t_k, 2),
         "rel_dev": round(abs(v_k - v_eng) / abs(v_eng), 5),
+        "same_normals_rel_dev": float(same_normals_rel),
+        "same_normals_pass": bool(same_normals_rel < 1e-5),
     }
     return out
 
@@ -533,21 +595,35 @@ def bench_parity_1e6():
     v32 = np.asarray(s32.engine.values(p0))
     v64 = np.asarray(s64.engine.values(p0))
     rel = np.abs(v32 - v64) / np.abs(v64)
-    # On-device f32-vs-f64 comparison (the f64 leg runs in TPU-emulated
-    # doubles). The worst relative deviations sit on the smallest-value
-    # products (~1e-2 to 2e-3 in price), where a few float32 ULPs of
-    # absolute error (~1e-8 of notional) read as several 1e-6 relative;
-    # the pure-arithmetic contract against the CPU double oracle is
-    # asserted at 1e-6 for EVERY product in tests/test_price_parity.py
-    # (measured 2.6e-7 max there).
+
+    # parity at the CALIBRATED stoch-vol optimum (round-3 addition): the
+    # basin |nu_eff|~0.7, blend~1.4 is where f32 is actually stressed —
+    # overflow clamps and heavy tails live there, not at the initial point
+    from finmath_tpu.models.lmm.benchmark_calibration import (
+        CURATED_BASINS, build_benchmark_calibration)
+
+    sv32 = build_benchmark_calibration(num_paths=16_384, seed=314151)
+    sv64 = build_benchmark_calibration(num_paths=16_384, seed=314151,
+                                       dtype=jnp.float64)
+    p_cal = CURATED_BASINS[0]
+    w32 = np.asarray(sv32.engine.values(p_cal))
+    w64 = np.asarray(sv64.engine.values(p_cal))
+    rel_cal = np.abs(w32 - w64) / np.abs(w64)
+
+    # STRICT criterion (round-2 VERDICT item 2): max < 1e-6 everywhere —
+    # enabled by the f64 collection arithmetic (engine collect_dtype),
+    # which removes the payoff-cancellation amplification on small-value
+    # products that round 2's 4.8e-6 tail came from.
     return {
         "bs_mc_rel_dev": float(bs_rel),
         "lmm_swaptions_max_rel_dev": float(rel.max()),
         "lmm_swaptions_median_rel_dev": float(np.median(rel)),
         "lmm_swaptions_max_abs_dev": float(np.max(np.abs(v32 - v64))),
+        "stochvol_calibrated_max_rel_dev": float(rel_cal.max()),
+        "stochvol_calibrated_median_rel_dev": float(np.median(rel_cal)),
         "contract": 1e-6,
-        "pass": bool(bs_rel < 1e-6 and np.median(rel) < 1e-6
-                     and rel.max() < 1e-5),
+        "pass": bool(bs_rel < 1e-6 and rel.max() < 1e-6
+                     and rel_cal.max() < 1e-6),
         "cpu_oracle_tests": "tests/test_price_parity.py asserts <1e-6 per product",
     }
 

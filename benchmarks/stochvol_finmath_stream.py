@@ -16,10 +16,13 @@ Usage:  python benchmarks/stochvol_finmath_stream.py [--paths 81920]
 
 import argparse
 import json
+import sys
 import time
 from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 
 
 def main():
@@ -33,14 +36,21 @@ def main():
                          "point (the reference's own trajectory shape)")
     ap.add_argument("--max-starts", type=int, default=8)
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--exponent", type=float, default=0.5,
+                    help="stoch-vol scaling exponent (1.0 + "
+                         "--no-martingale-correction = finmath's exact "
+                         "convention)")
+    ap.add_argument("--no-martingale-correction", action="store_true")
     args = ap.parse_args()
 
     from finmath_tpu.models.lmm.benchmark_calibration import (
         build_benchmark_calibration)
 
     t0 = time.perf_counter()
-    setup = build_benchmark_calibration(num_paths=args.paths, seed=314151,
-                                        brownian="finmath_mersenne")
+    setup = build_benchmark_calibration(
+        num_paths=args.paths, seed=314151, brownian="finmath_mersenne",
+        scaling_exponent=args.exponent,
+        martingale_correction=not args.no_martingale_correction)
     t_build = time.perf_counter() - t0
     print(f"[build] {t_build:.1f} s (incl. {args.paths}x40x6 bit-exact "
           "Mersenne stream generation)", flush=True)
@@ -59,6 +69,8 @@ def main():
     print(f"[warm] {time.perf_counter() - t0:.1f} s", flush=True)
 
     out = {"paths": args.paths, "stream": "finmath_mersenne(314151)",
+           "scaling_exponent": args.exponent,
+           "martingale_correction": not args.no_martingale_correction,
            "reference_rms19": 0.00198 if args.paths == 81_920 else 0.00480}
 
     if args.lm_from_x0:

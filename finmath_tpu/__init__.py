@@ -58,6 +58,8 @@ if os.environ.get("FINMATH_TPU_SKIP_GLOBAL_CONFIG", "").lower() not in (
 
 __version__ = "0.2.0"
 
+from .ops.lazy import (RandomVariableTPULazy, RandomVariableTPULazyFactory,
+                       averages, flush)
 from .ops.random_variable import RandomVariable, RandomVariableTPU, RandomVariableTPUFactory
 from .ops.random_variable_float import RandomVariableFloat, RandomVariableFloatFactory
 
@@ -65,6 +67,10 @@ __all__ = [
     "RandomVariable",
     "RandomVariableTPU",
     "RandomVariableTPUFactory",
+    "RandomVariableTPULazy",
+    "RandomVariableTPULazyFactory",
     "RandomVariableFloat",
     "RandomVariableFloatFactory",
+    "averages",
+    "flush",
 ]

@@ -32,6 +32,10 @@ class LMResult:
     converged: bool
     lambda_final: float
     history: List[float] = field(default_factory=list)
+    #: per-stage diagnostics (timings, candidate counts, best-rms per
+    #: stage) — populated by the staged procedures (calibrate_multistart)
+    #: so a single result row is self-explaining
+    stages: dict = field(default_factory=dict)
 
 
 class LevenbergMarquardt:

@@ -68,10 +68,19 @@ class LMMAnalyticSwaptionEngine:
             raise ValueError("no products fit on the tenor grid")
         self.products = sorted(kept, key=lambda p: (p.exercise_index, p.num_periods))
         unit = {p.value_unit for p in self.products}
-        if unit != {"VOLATILITYNORMAL"}:
+        if len(unit) != 1 or unit.pop() not in ("VOLATILITYNORMAL",
+                                                "VOLATILITYLOGNORMAL"):
             raise NotImplementedError(
-                "analytic approximation supports VOLATILITYNORMAL quotes"
-            )
+                "analytic approximation supports VOLATILITYNORMAL and "
+                "VOLATILITYLOGNORMAL quotes")
+        #: lognormal quotes via the Rebonato-style frozen-coefficient map
+        #: sigma_LN ~= sigma_N / S0: the swap rate's ABSOLUTE volatility
+        #: from the integrated covariance, divided by today's par rate.
+        #: Stochastic-volatility scaling is frozen at its E[scale^2] = 1
+        #: martingale expectation (exact for the sqrt-scaling convention),
+        #: so the approximation depends on the 5 term-structure parameters
+        #: + blend only — precisely the warm-start fit needs.
+        self.value_unit = list({p.value_unit for p in self.products})[0]
         if (model.simulation_td.get_number_of_time_steps()
                 != model.libor_td.get_number_of_time_steps()):
             # the integration mask below indexes cov.vol_table (one row per
@@ -90,11 +99,15 @@ class LMMAnalyticSwaptionEngine:
         # static: weight matrix [P, n], per-step integration mask [P, steps]
         W = np.zeros((P, n))
         texp = np.zeros(P)
+        s0 = np.ones(P)
         steps_mask = np.zeros((P, len(dts)))
         for k, p in enumerate(self.products):
             W[k] = swap_rate_weights(L0, deltas, p.exercise_index, p.num_periods)
             texp[k] = model.tenor_times[p.exercise_index]
+            s0[k] = _swap_rate_from_forwards(np.asarray(L0), deltas,
+                                             p.exercise_index, p.num_periods)
             steps_mask[k, : p.exercise_index] = dts[: p.exercise_index]
+        self._s0 = jnp.asarray(s0)
 
         self._W = jnp.asarray(W)
         self._texp = jnp.asarray(texp)
@@ -122,7 +135,10 @@ class LMMAnalyticSwaptionEngine:
             x = jnp.einsum("pi,sif->psf", self._W.astype(lam.dtype), lam)
             inst_var = jnp.sum(x * x, axis=2)               # [P, steps]
             total_var = jnp.sum(inst_var * self._steps_dt.astype(lam.dtype), axis=1)
-            return jnp.sqrt(jnp.maximum(total_var, 1e-20) / self._texp)
+            sigma_n = jnp.sqrt(jnp.maximum(total_var, 1e-20) / self._texp)
+            if self.value_unit == "VOLATILITYLOGNORMAL":
+                return sigma_n / self._s0
+            return sigma_n
 
         return quotes
 

@@ -253,7 +253,7 @@ class LMMValuationEngine:
                  mesh=None, path_axis: str = "paths",
                  scheme: str = "euler", dtype=None,
                  scan_mode: str = "fused", antithetic: bool = False,
-                 increments=None):
+                 increments=None, collect_dtype=None):
         """``mesh``: optional jax.sharding.Mesh — Monte-Carlo paths are then
         data-parallel over its ``path_axis``: each device folds its own RNG
         key, simulates num_paths/n_devices paths locally, and every
@@ -288,6 +288,24 @@ class LMMValuationEngine:
         #: default; float64 gives the double-precision oracle mode used by
         #: the 1e-6 price-parity tests (north star, BASELINE.md)
         self.dtype = jnp.dtype(dtype) if dtype is not None else FLOAT_DTYPE
+        #: dtype of the COLLECTION arithmetic (bond-ratio cumprod, annuity
+        #: matmul, payoff assembly) — float64 by default: the swaption
+        #: payoff 1 - P_end - K*annuity cancels O(1) terms down to O(1e-2),
+        #: so f32 collection turns a few ULPs of absolute error into
+        #: ~5e-6 RELATIVE on small-value products, the measured round-2
+        #: violator of the 1e-6 parity contract (BENCH_r02 parity_1e6 max
+        #: 4.8e-6). Simulation storage stays f32 (the framework contract);
+        #: only the per-event collector runs in doubles — elementwise VPU
+        #: work on [n, paths] once per exercise date, a small fraction of
+        #: the Euler sweep. Pass float32 to opt out.
+        cd = (jnp.dtype(collect_dtype)
+              if collect_dtype is not None else jnp.dtype(ACC_DTYPE))
+        # never below the simulation dtype (an f64 engine keeps f64)
+        self.collect_dtype = cd if cd.itemsize >= jnp.dtype(self.dtype).itemsize \
+            else jnp.dtype(self.dtype)
+        #: the spot numeraire is carried in the collection dtype too: its
+        #: 40-step f32 accrual product would otherwise contribute ~5e-7
+        #: relative on every price — one [paths] vector, negligible cost
         #: "fused": ONE scan with a cond-gated collector — small jaxpr,
         #: ~4x faster XLA compiles, the default. "segmented": one scan per
         #: exercise segment with inline collects — larger jaxpr but no
@@ -456,11 +474,26 @@ class LMMValuationEngine:
                                if model.covariance.has_stoch_vol
                                else self.num_factors)
         if self._inc_np is not None:
-            want = (self.num_steps, self._n_rng_factors, self.num_paths)
-            if self._inc_np.shape != want:
+            # steps after the last exercise event are never consumed (both
+            # scan modes stop there), so an increments array covering at
+            # least the consumed prefix is accepted — e.g. the full-size
+            # same-normals kernel comparison simulates 10 of the model's
+            # 40 grid steps
+            # fused mode's scan includes the last event step (the collect
+            # fires inside it), segmented mode stops right at the event
+            if len(self._event_steps_np):
+                s_need = int(self._event_steps_np[-1]) + (
+                    1 if self.scan_mode == "fused" else 0)
+            else:
+                s_need = self.num_steps
+            shape = self._inc_np.shape
+            if (len(shape) != 3 or shape[1] != self._n_rng_factors
+                    or shape[2] != self.num_paths
+                    or shape[0] < s_need or shape[0] > self.num_steps):
                 raise ValueError(
-                    f"injected increments have shape {self._inc_np.shape}, "
-                    f"engine needs [steps, rng_factors, paths] = {want}")
+                    f"injected increments have shape {shape}, engine needs "
+                    f"[steps in {s_need}..{self.num_steps}, rng_factors="
+                    f"{self._n_rng_factors}, paths={self.num_paths}]")
 
         self._residual_fn = self._wrap_public(self._build_residual_fn())
         self._jac_fn = self._wrap_public(self._build_residual_fn(),
@@ -566,12 +599,15 @@ class LMMValuationEngine:
             lam_t = vol_table[s][:, None] * cov.local_factor(prep, L, L0_b)
             if stoch_vol is not None:
                 exponent = getattr(cov, "scaling_exponent", 0.5)
+                # V carries in the collect dtype (f64 by default); ONE
+                # downcast here instead of 40 accumulated f32 roundings
+                Vc = V.astype(dtype)
                 if exponent == 1.0:
-                    scale = V          # finmath: lambda(t) multiplies directly
+                    scale = Vc         # finmath: lambda(t) multiplies directly
                 elif exponent == 0.5:
-                    scale = jnp.sqrt(V)
+                    scale = jnp.sqrt(Vc)
                 else:
-                    scale = V ** exponent
+                    scale = Vc ** exponent
                 lam_t = lam_t * scale[None, :]
             lam = lam_t[:, None, :] * R[:, :, None]
             return jnp.where(alive[:, None, :], lam, 0.0)
@@ -659,19 +695,26 @@ class LMMValuationEngine:
                 mu = 0.5 * (mu + mu_pred)
             L_new = evolve(L, mu, diffusion, dts[s], alive)
             if stoch_vol is not None:
-                # exact lognormal step for the scaling process:
+                # exact lognormal step for the scaling process, carried in
+                # the collect dtype (f64 default — a [paths] vector whose
+                # 40-step multiplicative f32 accumulation was the round-2
+                # parity tail at the calibrated basin):
                 # dW_V = rho dW_0 + sqrt(1-rho^2) dW_extra
                 # floor inside the sqrt: at |rho| > 1 (optimizer excursions)
                 # sqrt(max(1-rho^2, 0)) has a 0 * inf = NaN gradient that
                 # poisons the whole Jacobian; the tiny floor keeps it exact
                 # for |rho| < 1 to f32 precision and finite everywhere
-                dw_v = rho * dw[0] + jnp.sqrt(
-                    jnp.maximum(1.0 - rho * rho, 1e-12)
-                ) * dw_all[F]
+                vdt = self.collect_dtype
+                dw_v = (rho.astype(vdt) * dw[0].astype(vdt)
+                        + jnp.sqrt(jnp.maximum(
+                            1.0 - rho.astype(vdt) * rho.astype(vdt), 1e-12))
+                        * dw_all[F].astype(vdt))
+                nu_v = nu.astype(vdt)
                 if getattr(cov, "martingale_correction", True):
-                    V = V * jnp.exp(nu * dw_v - 0.5 * nu * nu * dts[s])
+                    V = V * jnp.exp(nu_v * dw_v
+                                    - 0.5 * nu_v * nu_v * dts[s].astype(vdt))
                 else:
-                    V = V * jnp.exp(nu * dw_v)
+                    V = V * jnp.exp(nu_v * dw_v)
                 # same f32 overflow guard as the forwards: cap the scaling
                 # process (sqrt(1e6) = 1000x vol on a single path is far
                 # beyond any price-relevant regime)
@@ -679,8 +722,8 @@ class LMMValuationEngine:
             return (L_new, N, V)
 
         L = L0_b
-        N = jnp.ones((paths,), dtype=dtype)
-        V = jnp.ones((paths,), dtype=dtype)
+        N = jnp.ones((paths,), dtype=self.collect_dtype)
+        V = jnp.ones((paths,), dtype=self.collect_dtype)
         if self.mesh is not None:
             # initial carries are replicated constants but evolve
             # device-varying inside shard_map; mark them varying
@@ -726,7 +769,7 @@ class LMMValuationEngine:
             (jnp.zeros((), dtype=jnp.int64),
              jnp.zeros((), dtype=jnp.int64),
              jax.ShapeDtypeStruct((n, paths), dtype),
-             jax.ShapeDtypeStruct((paths,), dtype)),
+             jax.ShapeDtypeStruct((paths,), self.collect_dtype)),
         )
         zero_y = jax.tree.map(
             lambda sd: jnp.zeros(sd.shape, dtype=sd.dtype), out_spec)
@@ -788,21 +831,24 @@ class LMMValuationEngine:
         Returns (values [P], mean_inv_numeraire [P])."""
         model = self.model
         n = model.num_libors
-        dtype = self.dtype
+        cdtype = self.collect_dtype
         spot = model.measure == "spot"
         P = len(self.products)
-        deltas = jnp.asarray(model.deltas, dtype=dtype)
-        ev_pay_mask = jnp.asarray(self._ev_pay_mask_np, dtype=dtype)
+        deltas = jnp.asarray(model.deltas, dtype=cdtype)
+        ev_pay_mask = jnp.asarray(self._ev_pay_mask_np, dtype=cdtype)
         ev_end_idx = jnp.asarray(self._ev_end_idx_np)
-        ev_strikes = jnp.asarray(self._ev_strikes_np, dtype=dtype)
+        ev_strikes = jnp.asarray(self._ev_strikes_np, dtype=cdtype)
         j_iota = jnp.arange(n)[:, None]
 
         def collect(e, ev, L, N):
             """Local (unnormalized) f64 path sums of payoff/numeraire and
             of 1/numeraire for event ``ev``'s products (exercise index e)."""
-            cp = bond_ratio_cumprod(L, deltas[:, None], e, j_iota)
+            cp = bond_ratio_cumprod(L.astype(cdtype), deltas[:, None], e,
+                                    j_iota)
             if spot:
-                inv_n = (1.0 / N).astype(ACC_DTYPE)               # [paths]
+                # divide AFTER the upcast: a f32 reciprocal would throw
+                # away the collection precision the f64 path just bought
+                inv_n = 1.0 / N.astype(ACC_DTYPE)                 # [paths]
             else:
                 inv_n = (1.0 / cp[n - 1]).astype(ACC_DTYPE)       # 1/P(T_e,T_n)
             ann = jnp.matmul(ev_pay_mask[ev], cp,

@@ -56,22 +56,34 @@ def _cholesky_solve_small(gram: jax.Array, rhs: jax.Array) -> jax.Array:
 
 
 @jax.jit
-def regression_fit_predict(basis: jax.Array, y: jax.Array) -> jax.Array:
-    """basis [B, paths] f32, y [paths] -> fitted E[y | basis] [paths] f32.
+def regression_fit(basis: jax.Array, y: jax.Array) -> jax.Array:
+    """basis [B, paths], y [paths] -> f64 coefficients beta [B].
 
     Normal equations with Tikhonov jitter in f64 (B is small: a handful of
     basis functions; paths is large). One matmul pair on the MXU; the tiny
-    SPD solve is an unrolled Cholesky (TPU-safe for f64).
-    """
+    SPD solve is an unrolled Cholesky (TPU-safe for f64). Exposed
+    separately from prediction so a Longstaff-Schwartz policy can be
+    FITTED on one path set and APPLIED to an independent one (the
+    out-of-sample lower bound of the Bermudan pricer)."""
     X = basis.astype(ACC_DTYPE)                      # [B, P]
     yd = y.astype(ACC_DTYPE)
     gram = X @ X.T                                   # [B, B]
     rhs = X @ yd                                     # [B]
     eye = jnp.eye(gram.shape[0], dtype=ACC_DTYPE)
-    beta = _cholesky_solve_small(
+    return _cholesky_solve_small(
         gram + 1e-12 * jnp.trace(gram) * eye, rhs
     )
-    return (beta @ X).astype(FLOAT_DTYPE)
+
+
+def regression_predict(basis: jax.Array, beta: jax.Array) -> jax.Array:
+    """basis [B, paths], beta [B] -> predicted E[y | basis] [paths] f32."""
+    return (beta @ basis.astype(ACC_DTYPE)).astype(FLOAT_DTYPE)
+
+
+@jax.jit
+def regression_fit_predict(basis: jax.Array, y: jax.Array) -> jax.Array:
+    """basis [B, paths] f32, y [paths] -> fitted E[y | basis] [paths] f32."""
+    return regression_predict(basis, regression_fit(basis, y))
 
 
 class MonteCarloConditionalExpectationRegression:

@@ -227,8 +227,8 @@ class RandomVariableTPU(RandomVariable):
     # ------------------------------------------------------------------
     def _unary(self, scalar_fn: Callable, array_fn: Callable) -> "RandomVariableTPU":
         if self.is_deterministic():
-            return RandomVariableTPU.of(self._time, _det_eval(scalar_fn, self._values))
-        return RandomVariableTPU.of(self._time, array_fn(self._values))
+            return type(self).of(self._time, _det_eval(scalar_fn, self._values))
+        return type(self).of(self._time, array_fn(self._values))
 
     def squared(self):
         return self._unary(lambda x: x * x, lambda v: v * v)
@@ -267,7 +267,7 @@ class RandomVariableTPU(RandomVariable):
 
     def average(self) -> "RandomVariableTPU":
         """The mean as a deterministic RandomVariable."""
-        return RandomVariableTPU.of(self._time, self.get_average())
+        return type(self).of(self._time, self.get_average())
 
     # ------------------------------------------------------------------
     # binary ops with scalars
@@ -275,8 +275,8 @@ class RandomVariableTPU(RandomVariable):
     def _scalar_op(self, value: float, scalar_fn, array_fn) -> "RandomVariableTPU":
         value = float(value)
         if self.is_deterministic():
-            return RandomVariableTPU.of(self._time, _det_eval(scalar_fn, self._values, value))
-        return RandomVariableTPU.of(self._time, array_fn(self._values, value))
+            return type(self).of(self._time, _det_eval(scalar_fn, self._values, value))
+        return type(self).of(self._time, array_fn(self._values, value))
 
     def cap(self, other):
         if isinstance(other, RandomVariable):
@@ -343,8 +343,8 @@ class RandomVariableTPU(RandomVariable):
         o_det, o_vals = self._dev(other)
         s_det = self.is_deterministic()
         if s_det and o_det:
-            return RandomVariableTPU.of(new_time, _det_eval(scalar_fn, self._values, o_vals))
-        return RandomVariableTPU.of(new_time, array_fn(self._values, o_vals))
+            return type(self).of(new_time, _det_eval(scalar_fn, self._values, o_vals))
+        return type(self).of(new_time, array_fn(self._values, o_vals))
 
     # ------------------------------------------------------------------
     # fused financial ops (ref. dedicated kernels accrue/discount/addProduct,
@@ -363,8 +363,8 @@ class RandomVariableTPU(RandomVariable):
             r_det, r = True, float(rate)
         p = float(period_length)
         if self.is_deterministic() and r_det:
-            return RandomVariableTPU.of(new_time, float(self._values) * (1.0 + float(r) * p))
-        return RandomVariableTPU.of(new_time, self._values * (1.0 + r * p))
+            return type(self).of(new_time, float(self._values) * (1.0 + float(r) * p))
+        return type(self).of(new_time, self._values * (1.0 + r * p))
 
     def discount(self, rate: "RandomVariable", period_length: float):
         """self / (1 + rate * periodLength)."""
@@ -377,10 +377,10 @@ class RandomVariableTPU(RandomVariable):
             r_det, r = True, float(rate)
         p = float(period_length)
         if self.is_deterministic() and r_det:
-            return RandomVariableTPU.of(
+            return type(self).of(
                 new_time,
                 _det_eval(lambda s, rr: s / (1.0 + rr * p), self._values, r))
-        return RandomVariableTPU.of(new_time, self._values / (1.0 + r * p))
+        return type(self).of(new_time, self._values / (1.0 + r * p))
 
     def add_product(self, factor1: "RandomVariable", factor2):
         """self + factor1 * factor2 (factor2 scalar or RV; ref. addProduct /
@@ -397,8 +397,8 @@ class RandomVariableTPU(RandomVariable):
         else:
             f2_det, f2 = True, float(factor2)
         if self.is_deterministic() and f1_det and f2_det:
-            return RandomVariableTPU.of(new_time, float(self._values) + float(f1) * float(f2))
-        return RandomVariableTPU.of(new_time, self._values + f1 * f2)
+            return type(self).of(new_time, float(self._values) + float(f1) * float(f2))
+        return type(self).of(new_time, self._values + f1 * f2)
 
     def add_ratio(self, numerator: "RandomVariable", denominator: "RandomVariable"):
         """self + numerator / denominator (ref. addRatio kernel :267)."""
@@ -417,11 +417,11 @@ class RandomVariableTPU(RandomVariable):
         n_det, n = self._dev(numerator)
         d_det, d = self._dev(denominator)
         if self.is_deterministic() and n_det and d_det:
-            return RandomVariableTPU.of(
+            return type(self).of(
                 new_time,
                 _det_eval(lambda s, nn, dd: s + sign * nn / dd,
                           self._values, n, d))
-        return RandomVariableTPU.of(new_time, self._values + sign * (n / d))
+        return type(self).of(new_time, self._values + sign * (n / d))
 
     def add_sum_product(
         self,
@@ -454,8 +454,8 @@ class RandomVariableTPU(RandomVariable):
         if self.is_deterministic():
             chosen = value_if_nonneg if float(self._values) >= 0 else value_if_neg
             out = RandomVariableTPU.from_random_variable(chosen)
-            return RandomVariableTPU.of(new_time, out._values)
-        return RandomVariableTPU.of(new_time, jnp.where(self._values >= 0, a, b))
+            return type(self).of(new_time, out._values)
+        return type(self).of(new_time, jnp.where(self._values >= 0, a, b))
 
     def ge_zero(self):
         """Indicator of self >= 0 (helper used by choose delegation)."""
@@ -472,14 +472,14 @@ class RandomVariableTPU(RandomVariable):
         operands = [self] + [RandomVariableTPU.from_random_variable(a) for a in args]
         new_time = max(o.get_filtration_time() for o in operands)
         if all(o.is_deterministic() for o in operands):
-            return RandomVariableTPU.of(
+            return type(self).of(
                 new_time, float(function(*[float(o._values) for o in operands]))
             )
         vals = [
             o._values if not o.is_deterministic() else float(o._values)
             for o in operands
         ]
-        return RandomVariableTPU.of(new_time, jnp.asarray(function(*vals), dtype=FLOAT_DTYPE))
+        return type(self).of(new_time, jnp.asarray(function(*vals), dtype=FLOAT_DTYPE))
 
     # ------------------------------------------------------------------
     # reductions: f32 input, f64 accumulation (ref. reduceFloatVectorToDoubleScalar,

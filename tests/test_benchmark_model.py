@@ -176,14 +176,19 @@ class TestAnalyticApproximation:
         assert abs(np.mean(setup.deviations(res.parameters))) < 5e-5
         assert res.rms_error < 2e-4
 
-    def test_rejects_lognormal_quotes(self):
+    def test_accepts_lognormal_quotes(self):
+        """Round-3: the analytic engine supports VOLATILITYLOGNORMAL via
+        the Rebonato-style sigma_N / S0 map (it used to refuse)."""
+        import numpy as np
+
         from finmath_tpu.models.lmm.analytic_approximation import (
             LMMAnalyticSwaptionEngine,
         )
 
         bench = build_benchmark_calibration(num_paths=256, num_factors=2)
-        with pytest.raises(NotImplementedError):
-            LMMAnalyticSwaptionEngine(bench.model, bench.products)
+        eng = LMMAnalyticSwaptionEngine(bench.model, bench.products)
+        v = eng.implied_vols(np.asarray(bench.covariance.initial_parameters))
+        assert np.all(np.isfinite(v)) and np.all(v > 0)
 
 
 class TestNestedStochVolSettings:

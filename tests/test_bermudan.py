@@ -64,19 +64,61 @@ class TestBermudanSwaption:
         )
         assert pricer.get_value(p0) == pricer.get_value(p0)
 
-    def test_terminal_measure_rejected(self, setup):
-        """The backward induction discounts by the rolling spot account;
-        under the terminal measure N stays 1.0 and the price would come
-        out silently undiscounted — must refuse instead."""
+    def test_terminal_measure_consistency(self, setup):
+        """Round-3: the spot-only guard is lifted — under the terminal
+        measure cashflows discount by 1/P(T_e, T_n) off the live bond
+        curve and rebase by P(0, T_n). Same product priced under both
+        numeraire discretizations of the same model must agree to MC
+        error."""
         from finmath_tpu.models.lmm.model import LIBORMarketModelTPU
 
         m = setup.model
+        p0 = setup.covariance.initial_parameters
+        product = BermudanSwaption((6, 8, 10), 14, 0.02)
+        v_spot = BermudanSwaptionPricer(m, product, N_PATHS, 1).get_value(p0)
         terminal = LIBORMarketModelTPU(
             m.libor_td, m.forward_curve, m.discount_curve, m.covariance,
             measure="terminal")
-        with pytest.raises(NotImplementedError, match="spot"):
-            BermudanSwaptionPricer(
-                terminal, BermudanSwaption((4, 6), 12, 0.01), N_PATHS, 1)
+        v_term = BermudanSwaptionPricer(
+            terminal, product, N_PATHS, 1).get_value(p0)
+        assert v_term == pytest.approx(v_spot, rel=0.05, abs=3e-4)
+
+    def test_duality_bounds_bracket_the_price(self, setup):
+        """Accuracy story (round-2 VERDICT item 7): out-of-sample policy
+        value (biased low) and the regression-martingale Haugh-Kogan dual
+        (biased high) bracket the LS point estimate; a small gap certifies
+        the regression policy is near-optimal."""
+        model = setup.model
+        p0 = setup.covariance.initial_parameters
+        tenor = model.tenor_times
+        e, m = 8, 8
+        strike = par_swap_rate(model.forward_curve, model.discount_curve,
+                               tenor[e : e + m + 1])
+        pricer = BermudanSwaptionPricer(
+            model, BermudanSwaption((e, e + 2, e + 4), e + m, strike),
+            N_PATHS, 1)
+        v = pricer.get_value(p0)
+        lo, hi = pricer.get_value_bounds(p0)
+        assert lo <= hi
+        mc_slack = 3e-4
+        assert lo - mc_slack <= v <= hi + mc_slack
+        # the duality gap certifies near-optimality of the LS policy
+        assert hi - lo < 0.25 * max(v, 1e-4)
+        # European lower bound holds for the dual too
+        engine = LMMValuationEngine(
+            model,
+            [SwaptionProduct(e, m, strike, 0.0, value_unit="VALUE")],
+            N_PATHS, 1)
+        european = engine.values(p0)[0]
+        assert hi >= european - mc_slack
+
+    def test_bounds_single_exercise_degenerate(self, setup):
+        model = setup.model
+        p0 = setup.covariance.initial_parameters
+        pricer = BermudanSwaptionPricer(
+            model, BermudanSwaption((6,), 12, 0.02), N_PATHS, 1)
+        lo, hi = pricer.get_value_bounds(p0)
+        assert lo == hi == pricer.get_value(p0)
 
     def test_deep_otm_bermudan_nonnegative(self, setup):
         """ITM-restriction regression: without the (immediate > 0) guard

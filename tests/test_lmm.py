@@ -290,3 +290,49 @@ class TestScanModes:
         # fusion/FMA decisions per program structure, so bit-identity is
         # not a contract — assert tight numerical agreement instead
         np.testing.assert_allclose(v_fus, v_seg, rtol=1e-7, atol=1e-9)
+
+
+class TestAnalyticLognormalApproximation:
+    """Round-3 (VERDICT item 6): the analytic engine supports lognormal
+    quotes via the Rebonato-style frozen-coefficient map sigma_N / S0,
+    used to warm-start the benchmark multistart without Monte Carlo."""
+
+    def test_lognormal_quotes_close_to_mc_atm(self):
+        import numpy as np
+
+        from finmath_tpu.models.lmm.analytic_approximation import (
+            LMMAnalyticSwaptionEngine)
+        from finmath_tpu.models.lmm.benchmark_calibration import (
+            build_benchmark_calibration)
+
+        s = build_benchmark_calibration(num_paths=4096)
+        x0 = np.asarray(s.covariance.initial_parameters)
+        a = LMMAnalyticSwaptionEngine(s.model, s.engine.products)
+        va = a.implied_vols(x0)
+        vm = s.engine.implied_vols(x0)
+        atm_ids = [i for i, p in enumerate(s.engine.products)
+                   if abs(p.strike - s.engine._fwd0[i]) < 1e-10]
+        # the freeze has no smile, so compare the ATM nodes only: the
+        # approximation must land within ~10% relative of the MC quotes
+        assert np.all(np.isfinite(va))
+        rel = np.abs(va[atm_ids] - vm[atm_ids]) / vm[atm_ids]
+        assert np.max(rel) < 0.10
+
+    def test_jacobian_finite_and_fast(self):
+        import numpy as np
+
+        from finmath_tpu.models.lmm.analytic_approximation import (
+            LMMAnalyticSwaptionEngine)
+        from finmath_tpu.models.lmm.benchmark_calibration import (
+            build_benchmark_calibration)
+
+        s = build_benchmark_calibration(num_paths=512)
+        x0 = np.asarray(s.covariance.initial_parameters)
+        a = LMMAnalyticSwaptionEngine(s.model, s.engine.products)
+        J = a.jacobian(x0)
+        assert J.shape == (len(a.products), len(x0))
+        assert np.all(np.isfinite(J))
+        # term-structure parameters move the quotes; frozen stoch-vol
+        # (nu, rho) must NOT (E[scale^2] = 1 under sqrt scaling)
+        assert np.max(np.abs(J[:, :5])) > 0
+        assert np.max(np.abs(J[:, 6:8])) < 1e-12

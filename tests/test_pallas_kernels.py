@@ -329,3 +329,57 @@ class TestStochVolKernelOnTPU:
             np.asarray(setup.model.initial_forwards),
             np.asarray(setup.model.deltas), 0.5, strike, float(p0[5]), nu, rho))
         assert v_k == pytest.approx(v_eng, rel=0.02)
+
+
+class TestSameNormalsEngineVsKernel:
+    """Round-3 (VERDICT item 5): the scan ENGINE (injected-increments
+    mode) and the stoch-vol Pallas kernel driven by ONE shared normal
+    block must agree at the f32-arithmetic level — no Monte-Carlo noise
+    in the comparison. The full-size (409,600-path) on-chip version runs
+    in bench.py; this is the CI-sized interpreter variant."""
+
+    def test_engine_matches_kernel_on_shared_normals(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from finmath_tpu.models.lmm.benchmark_calibration import (
+            build_benchmark_calibration)
+        from finmath_tpu.models.lmm.model import (LMMValuationEngine,
+                                                  SwaptionProduct)
+        from finmath_tpu.ops.lmm_stochvol_kernel import (
+            lmm_stochvol_swaption_kernel_with_normals)
+
+        b = build_benchmark_calibration(num_paths=256)
+        import jax.numpy as jnp
+
+        cov = b.model.covariance
+        p0 = np.asarray(cov.initial_parameters)
+        prep = cov.prepare(jnp.asarray(p0))
+        vol_table = np.asarray(cov.vol_table(prep))
+        R = np.asarray(cov.factor_matrix(prep))
+        nu, rho = [float(np.asarray(x)) for x in cov.stoch_vol_params(prep)]
+        e, periods, paths = 10, 20, 2048
+        strike = b.products[4].strike  # 5Y x 10Y smile node
+
+        F1 = R.shape[1] + 1
+        z = np.random.default_rng(99).standard_normal(
+            (e * F1, paths)).astype(np.float32)
+        inc = z.reshape(e, F1, paths) * np.float32(np.sqrt(0.5))
+
+        eng = LMMValuationEngine(
+            b.model,
+            [SwaptionProduct(e, periods, strike, 0.0, value_unit="VALUE")],
+            paths, R.shape[1], 99, scan_mode="segmented", increments=inc)
+        v_engine = float(eng.values(p0)[0])
+
+        lmm_stochvol_swaption_kernel_with_normals.clear_cache()
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                v_kernel = float(lmm_stochvol_swaption_kernel_with_normals(
+                    z, b.model.num_libors, R.shape[1], e, periods,
+                    vol_table.astype(np.float32), R.astype(np.float32),
+                    np.asarray(b.model.initial_forwards),
+                    np.asarray(b.model.deltas), 0.5, strike,
+                    float(p0[5]), nu, rho))
+        finally:
+            lmm_stochvol_swaption_kernel_with_normals.clear_cache()
+        assert v_kernel == pytest.approx(v_engine, rel=5e-5)

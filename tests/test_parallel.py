@@ -109,7 +109,7 @@ class TestShardedLMM:
 
         setup, sharded = engines
         p0 = jnp.asarray(setup.covariance.initial_parameters)
-        residual_fn = sharded._shard(sharded._build_residual_fn())
+        residual_fn = sharded._residual_fn  # public jitted sharded program
 
         @jax.jit
         def loss(params):
