@@ -64,11 +64,15 @@ def main():
     price = float(mc_price_sharded(mesh, 7, TOTAL, STEPS,
                                    1.0, 0.05, 0.30, 1.0, 1.05))
     wall1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(mc_price_sharded(mesh, 7, TOTAL, STEPS, 1.0, 0.05, 0.30, 1.0, 1.05))
+    warm1 = time.perf_counter() - t0
     analytic = float(black_scholes_option_value(1.0, 0.05, 0.30, 1.0, 1.05))
     err = abs(price - analytic)
     # MC standard error at 16M paths ~ 3.5e-5: assert within 4 sigma
     print(f"[scan MC] price={price:.6f} analytic={analytic:.6f} "
-          f"|err|={err:.2e} wall={wall1:.2f}s")
+          f"|err|={err:.2e} wall={wall1:.2f}s (incl. compile), "
+          f"warm={warm1:.2f}s")
     assert err < 2e-4, "16M-path MC price off"
     per_dev_bytes = TOTAL // n_dev * 4
     print(f"[scan MC] per-device live path state: {per_dev_bytes / 2**20:.0f}"
@@ -94,9 +98,16 @@ def main():
     print(f"[brownian block] {steps_b} steps x {factors} factors x "
           f"{TOTAL:,} paths = {gbytes:.2f} GiB global, "
           f"{gbytes / n_dev * 1024:.0f} MiB per device, wall={wall2:.2f}s")
-    # statistical sanity on the sharded block (f64 mean via local+global sum)
-    m = float(jnp.mean(block.astype(jnp.float64)))
-    v = float(jnp.var(block.astype(jnp.float64)))
+    # statistical sanity on the sharded block — f64 ACCUMULATOR reductions
+    # (dtype=... fuses the convert into the reduce; materializing an f64
+    # copy of a 3.75 GiB block would double HBM and OOM a single chip)
+    @jax.jit
+    def block_stats(b):
+        m = jnp.mean(b, dtype=jnp.float64)
+        v = jnp.mean(b * b, dtype=jnp.float64) - m * m
+        return m, v
+
+    m, v = [float(x) for x in block_stats(block)]
     print(f"[brownian block] mean={m:.2e} var={v:.6f}")
     assert abs(m) < 1e-3 and abs(v - 1.0) < 1e-3
 

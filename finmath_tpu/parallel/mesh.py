@@ -66,6 +66,13 @@ def sharded_mean(mesh: Mesh):
     return mean
 
 
+def _mesh_cache_key(mesh: Mesh):
+    return (tuple(d.id for d in mesh.devices.flat), mesh.axis_names)
+
+
+_MC_PRICE_CACHE: dict = {}
+
+
 def mc_price_sharded(mesh: Mesh, seed: int, total_paths: int, num_steps: int,
                      s0: float, r: float, sigma, maturity: float,
                      strike: float):
@@ -75,7 +82,17 @@ def mc_price_sharded(mesh: Mesh, seed: int, total_paths: int, num_steps: int,
     of paths entirely locally, and the final expectation is one psum.
     ``sigma`` may be a traced value — the function is differentiable, so
     calibration gradients flow through the collective.
+
+    The shard_mapped program is cached per (mesh, statics): a fresh
+    closure every call would re-trace and pay a remote compile-cache
+    round trip per "warm" call (measured 30 s at 16M paths over the TPU
+    tunnel vs sub-second cached).
     """
+    key = (_mesh_cache_key(mesh), seed, total_paths, num_steps,
+           float(s0), float(r), float(maturity), float(strike))
+    cached = _MC_PRICE_CACHE.get(key)
+    if cached is not None:
+        return cached(jnp.asarray(sigma, dtype=jnp.float64))
     n_dev = mesh.devices.size
     if total_paths % n_dev:
         raise ValueError(f"total_paths {total_paths} not divisible by mesh size {n_dev}")
@@ -104,6 +121,11 @@ def mc_price_sharded(mesh: Mesh, seed: int, total_paths: int, num_steps: int,
         return jax.lax.psum(local_sum, PATH_AXIS)
 
     dev_ids = jnp.arange(n_dev, dtype=jnp.int32)
-    sigma_arr = jnp.asarray(sigma, dtype=jnp.float64)
-    total = _local(dev_ids, sigma_arr)[0]
-    return total / total_paths * jnp.exp(-r * maturity)
+
+    @jax.jit
+    def price(sigma_arr):
+        total = _local(dev_ids, sigma_arr)[0]
+        return total / total_paths * jnp.exp(-r * maturity)
+
+    _MC_PRICE_CACHE[key] = price
+    return price(jnp.asarray(sigma, dtype=jnp.float64))
