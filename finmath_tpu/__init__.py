@@ -56,7 +56,7 @@ if os.environ.get("FINMATH_TPU_SKIP_GLOBAL_CONFIG", "").lower() not in (
     enable_compilation_cache()
     select_device()
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 from .ops.lazy import (RandomVariableTPULazy, RandomVariableTPULazyFactory,
                        averages, flush)

@@ -98,10 +98,11 @@ def sobol_brownian_increments(dts, num_factors: int, num_paths: int,
         # unbiased at any n
         warnings.simplefilter("ignore")
         u = sob.random(n_points)                       # [n, d]
-    if not scramble:
-        # the unscrambled sequence starts at the all-zero point; clamp
-        # away from the ICDF poles
-        u = np.clip(u, 2.0 ** -53, 1.0 - 2.0 ** -53)
+    # clamp away from the ICDF poles: the unscrambled sequence starts at
+    # the all-zero point, and Owen-scrambled coordinates are dyadic
+    # rationals that CAN round to exactly 0.0 (observed at 81,920 x 240
+    # draws), which would inject a -inf increment into the simulation
+    u = np.clip(u, 2.0 ** -53, 1.0 - 2.0 ** -53)
 
     from ..native.host_rng import inverse_normal_cdf_as241
 
