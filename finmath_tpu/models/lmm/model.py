@@ -160,6 +160,64 @@ def bond_ratio_cumprod(L, deltas_col, e, j_iota):
     return jnp.cumprod(r, axis=0)
 
 
+def _two_prod_err(a, b, x):
+    """Exact rounding error of ``x = a * b`` in the working precision
+    (Dekker/Veltkamp splitting; needs round-to-nearest and no overflow —
+    both hold for bond ratios near 1). Returns err with a*b == x + err
+    exactly. ~10 VPU flops, no doubles."""
+    # split point: mantissa bits ceil(p/2); f32 p=24 -> 2^12+1, f64 -> 2^27+1
+    split = 4097.0 if a.dtype == jnp.float32 else 134217729.0
+    ca = split * a
+    a_hi = ca - (ca - a)
+    a_lo = a - a_hi
+    cb = split * b
+    b_hi = cb - (cb - b)
+    b_lo = b - b_hi
+    return ((a_hi * b_hi - x) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo
+
+
+def bond_ratio_cumprod_hi(L, deltas_col, e, j_iota, hi_dtype):
+    """``bond_ratio_cumprod`` accurate to ``hi_dtype`` at ~f32 scan cost.
+
+    The swaption payoff 1 - P_end - K*annuity needs P_end far below the
+    ~n*ulp bias a straight f32 cumprod accumulates (the round-2 4.8e-6
+    parity tail), but a full f64 cumprod is an O(n log n) associative
+    scan in TPU-EMULATED doubles (measured ~150 ms at 80 x 409,600 — 3x
+    the whole valuation; blocked f32/f64 mixing does NOT help because
+    the f32 within-block multiplies and the f32-computed ratios carry
+    the bias, not the cross-block combine). Instead run the whole scan
+    in f32 but COMPENSATED: track the exact relative rounding error of
+    (a) forming s = 1 + delta*L, (b) every scan multiply (Dekker
+    two-product, exact under round-to-nearest), and (c) the final
+    reciprocal, then apply one elementwise hi-dtype fixup
+    cp_hi = (1/S)*(1 + rho - C). First-order compensation leaves
+    O((n*ulp)^2) ~ 1e-11 relative — f64-grade at f32 speed (measured
+    on-chip: strict max rel dev 1e-7 vs the f64 oracle, ATM 409,600-path
+    valuation ~84 ms, unchanged from pure f32)."""
+    if jnp.dtype(L.dtype) == jnp.dtype(hi_dtype):
+        return bond_ratio_cumprod(L, deltas_col, e, j_iota)
+    live = j_iota >= e
+    t = deltas_col * L
+    err_t = _two_prod_err(deltas_col, L, t)
+    s = 1.0 + t
+    err_s = (1.0 - s) + t               # fast two-sum, exact for |t| <= 1
+    s = jnp.where(live, s, 1.0)
+    c0 = jnp.where(live, (err_t + err_s) / s, 0.0)
+
+    def comb(a, b):
+        p1, c1 = a
+        p2, c2 = b
+        p = p1 * p2
+        return p, c1 + c2 + _two_prod_err(p1, p2, p) / p
+
+    S, C = jax.lax.associative_scan(comb, (s, c0), axis=0)
+    # reciprocal with exact residual: 1/S_true ~ (1/S)(1 + rho - C)
+    cp = 1.0 / S
+    x = S * cp
+    rho = (1.0 - x) - _two_prod_err(S, cp, x)
+    return cp.astype(hi_dtype) * (1.0 + (rho - C).astype(hi_dtype))
+
+
 @dataclass(frozen=True)
 class SwaptionProduct:
     """A (payer) swaption on the model tenor grid, quoted in a value unit.
@@ -821,6 +879,85 @@ class LMMValuationEngine:
         return jax.tree.map(lambda *a: jnp.stack(a), *ys)
 
     # ------------------------------------------------------------------
+    def _collect_consts(self):
+        """Device constants shared by the per-event payoff collectors."""
+        cdtype = self.collect_dtype
+        n = self.model.num_libors
+        return dict(
+            deltas=jnp.asarray(self.model.deltas, dtype=cdtype),
+            ev_pay_mask=jnp.asarray(self._ev_pay_mask_np, dtype=self.dtype),
+            ev_end_idx=jnp.asarray(self._ev_end_idx_np),
+            ev_strikes=jnp.asarray(self._ev_strikes_np, dtype=cdtype),
+            j_iota=jnp.arange(n)[:, None],
+        )
+
+    def _event_contrib(self, e, ev, L, N, consts):
+        """Per-path discounted payoff contributions for event ``ev``'s
+        products: ``([P_max, paths] payoff/numeraire, [paths] 1/numeraire)``,
+        finite-masked. The mean of the first over paths (times the
+        numeraire adjustment) is the product value."""
+        n = self.model.num_libors
+        cdtype = self.collect_dtype
+        spot = self.model.measure == "spot"
+        cp = bond_ratio_cumprod_hi(L, consts["deltas"][:, None].astype(L.dtype),
+                                   e, consts["j_iota"], cdtype)
+        if spot:
+            # divide AFTER the upcast (N carries in collect_dtype)
+            inv_n = 1.0 / N.astype(ACC_DTYPE)                     # [paths]
+        else:
+            inv_n = 1.0 / cp[n - 1].astype(ACC_DTYPE)             # 1/P(T_e,T_n)
+        ann = jnp.matmul(consts["ev_pay_mask"][ev], cp.astype(self.dtype),
+                         precision=jax.lax.Precision.HIGHEST)     # [P_max, paths]
+        p_end = cp[consts["ev_end_idx"][ev]]                      # [P_max, paths]
+        payoff = jnp.maximum(
+            1.0 - p_end - consts["ev_strikes"][ev][:, None] * ann.astype(cdtype),
+            0.0)
+        # a pathwise contribution can exceed float range when the
+        # simulation left the price-relevant regime (optimizer
+        # excursions to huge vols; the f64 reference returns equally
+        # meaningless magnitudes there) — drop it instead of letting
+        # one inf/NaN path poison the whole expectation
+        contrib = payoff.astype(ACC_DTYPE) * inv_n[None, :]
+        return jnp.where(jnp.isfinite(contrib), contrib, 0.0), inv_n
+
+    def pathwise_values(self, params, inc=None):
+        """Per-path value contributions ``[P, local_paths]`` (diagnostic).
+
+        Row means over ALL paths equal ``values(params)`` (numeraire
+        adjustment included): the decomposition behind the f32-vs-f64
+        parity analysis at the calibrated stochastic-vol basin
+        (BENCHMARKS.md) — chaotic tail paths are identified by the
+        per-path |f32 − f64| contribution gap. Materializes
+        ``[events, P_max, paths]`` (fused mode: ``[steps, ...]``), so use
+        at diagnostic path counts; not meshed."""
+        if self.mesh is not None:
+            raise ValueError("pathwise_values is a single-device diagnostic")
+        model = self.model
+        consts = self._collect_consts()
+
+        def collect(e, ev, L, N):
+            return self._event_contrib(e, ev, L, N, consts)
+
+        params = jnp.asarray(params, dtype=self.dtype)
+        contrib_steps, inv_steps = self._simulate_collect(params, collect, inc)
+        if self.scan_mode == "segmented":
+            idx = jnp.asarray(self._ev_of_product_np)
+        else:
+            idx = jnp.asarray(self._ex_step_idx)
+        slots = jnp.asarray(self._slot_of_np)
+        contrib = contrib_steps[idx, slots]                       # [P, paths]
+        inv_safe = jnp.where(jnp.isfinite(inv_steps[idx]), inv_steps[idx], 0.0)
+        mean_inv = jnp.mean(inv_safe, axis=-1)                    # [P]
+        if model.measure != "spot":
+            contrib = contrib * self._p0_terminal
+            mean_inv = mean_inv * self._p0_terminal
+        if model.use_numeraire_adjustment:
+            df_ex = jnp.asarray(self._df_exercise)
+            adj = jnp.where(mean_inv > 0.0, df_ex / mean_inv, 0.0)
+            contrib = contrib * adj[:, None]
+        return contrib
+
+    # ------------------------------------------------------------------
     def _simulate_and_value(self, params, inc=None):
         """Simulate once and value the CURRENT EVENT's products at each
         exercise step (padded to the largest per-event group): the
@@ -831,42 +968,30 @@ class LMMValuationEngine:
         Returns (values [P], mean_inv_numeraire [P])."""
         model = self.model
         n = model.num_libors
-        cdtype = self.collect_dtype
-        spot = model.measure == "spot"
+        # collection-precision policy (round-3 parity work, measured on
+        # chip): the payoff is 1 - P_end - K*annuity, a cancellation of
+        # O(1) terms down to O(1e-2), and P_end enters with weight 1 while
+        # the annuity is damped by K ~ 3e-2. So the bond-ratio curve is
+        # computed by the COMPENSATED f32 scan (f64-grade P_end and
+        # numeraire at f32 cost, see bond_ratio_cumprod_hi), the payoff
+        # assembles in collect_dtype, and only the ANNUITY matmul runs in
+        # the simulation dtype on the MXU — its f32 error lands 30x
+        # damped, and an f64 matmul would be emulated off the MXU
+        # (measured: full-f64 collection cost ~3x on every residual
+        # evaluation, ATM wall 1.45 s -> 4.6 s; this split keeps the f32
+        # wall at strict 1e-6 parity).
         P = len(self.products)
-        deltas = jnp.asarray(model.deltas, dtype=cdtype)
-        ev_pay_mask = jnp.asarray(self._ev_pay_mask_np, dtype=cdtype)
-        ev_end_idx = jnp.asarray(self._ev_end_idx_np)
-        ev_strikes = jnp.asarray(self._ev_strikes_np, dtype=cdtype)
-        j_iota = jnp.arange(n)[:, None]
+        consts = self._collect_consts()
 
         def collect(e, ev, L, N):
             """Local (unnormalized) f64 path sums of payoff/numeraire and
             of 1/numeraire for event ``ev``'s products (exercise index e)."""
-            cp = bond_ratio_cumprod(L.astype(cdtype), deltas[:, None], e,
-                                    j_iota)
-            if spot:
-                # divide AFTER the upcast: a f32 reciprocal would throw
-                # away the collection precision the f64 path just bought
-                inv_n = 1.0 / N.astype(ACC_DTYPE)                 # [paths]
-            else:
-                inv_n = (1.0 / cp[n - 1]).astype(ACC_DTYPE)       # 1/P(T_e,T_n)
-            ann = jnp.matmul(ev_pay_mask[ev], cp,
-                             precision=jax.lax.Precision.HIGHEST)  # [P_max, paths]
-            p_end = cp[ev_end_idx[ev]]                            # [P_max, paths]
-            payoff = jnp.maximum(
-                1.0 - p_end - ev_strikes[ev][:, None] * ann, 0.0)
-            # a pathwise contribution can exceed float range when the
-            # simulation left the price-relevant regime (optimizer
-            # excursions to huge vols; the f64 reference returns equally
-            # meaningless magnitudes there) — drop it instead of letting
-            # one inf/NaN path poison the whole expectation
-            contrib = payoff.astype(ACC_DTYPE) * inv_n[None, :]
-            raw = jnp.sum(jnp.where(jnp.isfinite(contrib), contrib, 0.0),
-                          axis=-1)
+            contrib, inv_n = self._event_contrib(e, ev, L, N, consts)
+            raw = jnp.sum(contrib, axis=-1)
             inv_safe = jnp.where(jnp.isfinite(inv_n), inv_n, 0.0)
             return raw, jnp.sum(inv_safe)
 
+        spot = model.measure == "spot"
         raw_steps, inv_steps = self._simulate_collect(params, collect, inc)
         # gather each product's own event (by sim step in fused mode, by
         # event ordinal in segmented mode) and slot, then reduce once
