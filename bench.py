@@ -575,6 +575,31 @@ def bench_aad_greeks():
     out["agree"] = bool(abs(float(d) - delta_an) < 0.02
                         and abs(float(v) - vega_an) < 0.05
                         and abs(float(dt) - delta_an) < 0.02)
+
+    # (3) LMM bucketed delta ladder: ONE reverse-mode pass through the
+    # full 40y Euler sweep (measure drift, payoff, numeraire) yields
+    # dV/dL_i(0) for all 80 forward-curve buckets of the equal-weight
+    # 144-swaption ATM portfolio at 100k paths. finmath's tape would
+    # record ~100k device ops for this; here it is one fused XLA program
+    # with jax.checkpoint bounding the adjoint's live memory.
+    from finmath_tpu.models.lmm.atm_calibration import build_atm_calibration
+
+    a = build_atm_calibration(num_paths=100_000, num_factors=1, seed=3141)
+    pa = np.asarray(a.covariance.initial_parameters)
+    t0 = time.perf_counter()
+    _, g0 = a.engine.forward_deltas(pa)
+    cold = time.perf_counter() - t0
+    ts3 = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, g0 = a.engine.forward_deltas(pa)
+        ts3.append(time.perf_counter() - t0)
+    out["lmm_delta_ladder_atm_100k"] = {
+        "cold_s": round(cold, 1),
+        "warm_ms": round(min(ts3) * 1000, 1),
+        "buckets": int(g0.shape[0]),
+        "finite": bool(np.all(np.isfinite(g0)) and np.any(g0 != 0.0)),
+    }
     return out
 
 

@@ -598,7 +598,7 @@ class LMMValuationEngine:
         return jax.jit(fn)
 
     # ------------------------------------------------------------------
-    def _build_sim(self, params, inc=None):
+    def _build_sim(self, params, inc=None, fwd0=None, grad_safe=False):
         """Build the per-step simulation body: returns ``(sim_step,
         carry0)`` where ``sim_step((L, N, V), s) -> (L, N, V)`` performs
         spot-account accrual + the Euler/log-Euler update for simulation
@@ -606,7 +606,25 @@ class LMMValuationEngine:
 
         ``inc``: optional injected Brownian increments, local shape
         ``[S, n_rng_factors, paths]``, already scaled by sqrt(dt) — used
-        verbatim in place of the Threefry draws."""
+        verbatim in place of the Threefry draws.
+
+        ``fwd0``: optional traced ``[n]`` initial forwards replacing the
+        model's (host-constant) curve forwards — the differentiation
+        point of the AAD delta ladder (``forward_deltas``). The blended
+        local-volatility anchor ``L0`` moves with it, so the gradient is
+        the TOTAL pathwise sensitivity of the simulated dynamics.
+
+        ``grad_safe``: floor the measure drift's accrual denominator
+        |1 + delta L| away from its pole. Explosive stochastic-vol paths
+        can cross L = -1/delta, where the unguarded drift produces
+        inf - inf = NaN forwards (the clamp turns them into finite
+        garbage the COLLECTION masks, so prices are unaffected) — but a
+        NaN anywhere in a path's PRIMAL trajectory turns the backward
+        scan's 0-cotangent x NaN-partial products into NaN, and the
+        broadcast initial forwards sum those across paths into the
+        ladder. The floor is exact identity unless a rate is within
+        0.02 bp of -200%, i.e. only on paths the valuation already
+        discards; used by the AAD delta core only, never by values()."""
         model = self.model
         n = model.num_libors
         cov = model.covariance
@@ -630,7 +648,10 @@ class LMMValuationEngine:
         sim = model.sim_times
         dts = jnp.asarray(sim[1:] - sim[:-1], dtype=dtype)    # [S]
         sqrt_dts = jnp.sqrt(dts)
-        L0 = jnp.asarray(model.initial_forwards, dtype=dtype)
+        if fwd0 is None:
+            L0 = jnp.asarray(model.initial_forwards, dtype=dtype)
+        else:
+            L0 = fwd0.astype(dtype)
         L0_b = jnp.broadcast_to(L0[:, None], (n, paths))
         alive_table = jnp.asarray(self._alive_np)             # [S, n] bool
         accrual_table = jnp.asarray(self._accrual_np, dtype=dtype)  # [S, n]
@@ -675,7 +696,13 @@ class LMMValuationEngine:
             getDrift): spot = prefix sum over alive j <= i; terminal =
             negative exclusive suffix sum over j > i. LOGNORMAL gets the
             L_j numerator factor and the -0.5 |lambda_i|^2 Ito term."""
-            mt = deltas[:, None] / (1.0 + deltas[:, None] * L)   # [n, paths]
+            denom = 1.0 + deltas[:, None] * L
+            if grad_safe:
+                # pole floor (see docstring): keeps every drift primal
+                # finite so the adjoint sweep stays NaN-free
+                denom = jnp.where(jnp.abs(denom) < 1e-4,
+                                  jnp.where(denom < 0, -1e-4, 1e-4), denom)
+            mt = deltas[:, None] / denom                          # [n, paths]
             if lognormal:
                 mt = mt * L
             c = mt[:, None, :] * lam                              # [n, F, paths]
@@ -691,7 +718,12 @@ class LMMValuationEngine:
 
         def evolve(L, mu, diffusion, dt, alive):
             if lognormal:
-                L_new = jnp.where(alive, L * jnp.exp(mu * dt + diffusion), L)
+                arg = mu * dt + diffusion
+                if grad_safe:
+                    # 0 * exp(inf) = NaN on an underflowed-to-zero path;
+                    # the clip is identity wherever exp is representable
+                    arg = jnp.clip(arg, -88.0, 88.0)
+                L_new = jnp.where(alive, L * jnp.exp(arg), L)
             else:
                 L_new = jnp.where(alive, L + mu * dt + diffusion, L)
             # float32 overflow guard: under heavy-tailed stochastic vol a
@@ -791,11 +823,19 @@ class LMMValuationEngine:
         return sim_step, (L, N, V)
 
     # ------------------------------------------------------------------
-    def _simulate_collect(self, params, collect, inc=None):
+    def _simulate_collect(self, params, collect, inc=None, fwd0=None,
+                          remat=False, grad_safe=False):
         """Run the simulation and apply ``collect(e, ev, L, N)`` (e =
         exercise tenor index, ev = event ordinal; fixed output shape
         across events) at every exercise step, BEFORE that step's accrual
         and evolution.
+
+        ``remat``: wrap the step body in ``jax.checkpoint`` so reverse-
+        mode AD stores only the [L, N, V] carries per step and recomputes
+        the step internals (loadings, drifts, diffusion) in the backward
+        pass — the standard FLOPs-for-HBM trade that keeps the AAD delta
+        ladder's memory at O(steps x paths) instead of O(steps x n x F x
+        paths).
 
         Fused mode (default): ONE ``lax.scan`` over every step with a
         ``lax.cond``-gated collector — the jaxpr contains one scan + one
@@ -809,14 +849,17 @@ class LMMValuationEngine:
         ~25% faster warm; returns the EVENT-stacked pytree (leading axis =
         event ordinal); gather with event ordinals."""
         if self.scan_mode == "segmented":
-            return self._simulate_collect_segmented(params, collect, inc)
+            return self._simulate_collect_segmented(params, collect, inc,
+                                                    fwd0, remat, grad_safe)
         n = self.model.num_libors
         paths = self._local_paths
         dtype = self.dtype
         S = self.num_steps
         collect_at = jnp.asarray(self._collect_at_np)         # [S] int
         collect_ev = jnp.asarray(self._collect_ev_np)         # [S] int
-        sim_step, carry0 = self._build_sim(params, inc)
+        sim_step, carry0 = self._build_sim(params, inc, fwd0, grad_safe)
+        if remat:
+            sim_step = jax.checkpoint(sim_step)
 
         def collect_op(operand):
             return collect(*operand)
@@ -857,10 +900,13 @@ class LMMValuationEngine:
         _, ys = jax.lax.scan(step, carry0, jnp.arange(s_stop))
         return ys
 
-    def _simulate_collect_segmented(self, params, collect, inc=None):
+    def _simulate_collect_segmented(self, params, collect, inc=None,
+                                    fwd0=None, remat=False, grad_safe=False):
         """Segmented variant: python-level loop over exercise events, one
         ``lax.scan`` per segment, collect inlined. Event-stacked output."""
-        sim_step, carry = self._build_sim(params, inc)
+        sim_step, carry = self._build_sim(params, inc, fwd0, grad_safe)
+        if remat:
+            sim_step = jax.checkpoint(sim_step)
 
         def scan_body(c, s):
             return sim_step(c, s), None
@@ -891,19 +937,72 @@ class LMMValuationEngine:
             j_iota=jnp.arange(n)[:, None],
         )
 
-    def _event_contrib(self, e, ev, L, N, consts):
+    def _event_contrib(self, e, ev, L, N, consts, grad_safe=False):
         """Per-path discounted payoff contributions for event ``ev``'s
         products: ``([P_max, paths] payoff/numeraire, [paths] 1/numeraire)``,
         finite-masked. The mean of the first over paths (times the
-        numeraire adjustment) is the product value."""
+        numeraire adjustment) is the product value.
+
+        ``grad_safe``: additionally zero out (with the double-``where``
+        pattern) paths whose f32 bond-ratio scan would overflow or hit a
+        non-positive accrual factor. The forward pass drops their
+        contributions at the finite mask anyway, but an inf/NaN PRIMAL
+        inside the scan turns the whole adjoint into NaN (0 * inf in the
+        cotangent chain) — the AAD ladder cuts the chain BEFORE the scan.
+        Identity for every path in the price-relevant regime."""
         n = self.model.num_libors
         cdtype = self.collect_dtype
         spot = self.model.measure == "spot"
-        cp = bond_ratio_cumprod_hi(L, consts["deltas"][:, None].astype(L.dtype),
-                                   e, consts["j_iota"], cdtype)
+        dead = None
+        if grad_safe:
+            deltas_col = consts["deltas"][:, None].astype(L.dtype)
+            sfac = 1.0 + deltas_col * L
+            # a path is adjoint-dead when its accrual factors hit the
+            # pole/negative territory OR any CONTIGUOUS block product of
+            # the bond-ratio scan would leave f32 range. Overflow does
+            # not require any single L near the +-1e3 clamp (80 factors
+            # of moderately-insane rates suffice), and the NET log-sum is
+            # not enough either: offsetting small factors can hide an
+            # overflowing prefix. Exact criterion on the running log-sum:
+            # every scan tree node is a contiguous block [i..j] with
+            # log-product = logcum[j] - logcum[i-1] <= max ascent, and
+            # the final reciprocal needs logcum[k] > -85 everywhere.
+            logs = jnp.log(jnp.maximum(jnp.abs(sfac), 1e-30))
+            logcum = jnp.cumsum(logs, axis=0)
+            runmin = jax.lax.cummin(jnp.minimum(logcum, 0.0), axis=0)
+            ascent = jnp.max(logcum - runmin, axis=0)
+            bad = jnp.any(~jnp.isfinite(L) | (jnp.abs(L) >= 999.0)
+                          | (sfac <= 1e-6), axis=0)
+            if spot:
+                # the spot account crosses zero / goes negative on pole
+                # paths (an accrual factor 1 + delta L < 0 flips its sign)
+                # possibly long before this event, with a perfectly sane
+                # event-time L — the reciprocal's -1/N^2 = inf partial
+                # then NaNs the adjoint even under a zero cotangent
+                bad = bad | ~(N > 1e-12) | ~(N < 1e30)
+            # NaN-safe: ~(x < t) is True for NaN bounds (a NaN L would
+            # make the comparison silently False the other way)
+            dead = (bad | ~(ascent < 85.0)
+                    | ~(jnp.min(logcum, axis=0) > -85.0))      # [paths]
+            L = jnp.where(dead[None, :], 0.01, L)
+            # plain f32 scan for the adjoint: risk ladders do not need
+            # the 1e-6 price-parity compensation (its Dekker splits also
+            # overflow earlier, at |block| > 8e34), and the plain scan's
+            # VJP is half the work
+            cp = bond_ratio_cumprod(L, deltas_col, e,
+                                    consts["j_iota"]).astype(cdtype)
+        else:
+            cp = bond_ratio_cumprod_hi(
+                L, consts["deltas"][:, None].astype(L.dtype),
+                e, consts["j_iota"], cdtype)
         if spot:
             # divide AFTER the upcast (N carries in collect_dtype)
-            inv_n = 1.0 / N.astype(ACC_DTYPE)                     # [paths]
+            Nv = N.astype(ACC_DTYPE)
+            if dead is not None:
+                # double-where: make the PRIMAL safe before the
+                # reciprocal so d(inv_n)/dN is exactly 0 on dead paths
+                Nv = jnp.where(dead, 1.0, Nv)
+            inv_n = 1.0 / Nv                                      # [paths]
         else:
             inv_n = 1.0 / cp[n - 1].astype(ACC_DTYPE)             # 1/P(T_e,T_n)
         ann = jnp.matmul(consts["ev_pay_mask"][ev], cp.astype(self.dtype),
@@ -918,6 +1017,9 @@ class LMMValuationEngine:
         # meaningless magnitudes there) — drop it instead of letting
         # one inf/NaN path poison the whole expectation
         contrib = payoff.astype(ACC_DTYPE) * inv_n[None, :]
+        if dead is not None:
+            contrib = jnp.where(dead[None, :], 0.0, contrib)
+            inv_n = jnp.where(dead, 0.0, inv_n)
         return jnp.where(jnp.isfinite(contrib), contrib, 0.0), inv_n
 
     def pathwise_values(self, params, inc=None):
@@ -958,7 +1060,8 @@ class LMMValuationEngine:
         return contrib
 
     # ------------------------------------------------------------------
-    def _simulate_and_value(self, params, inc=None):
+    def _simulate_and_value(self, params, inc=None, fwd0=None, remat=False,
+                            grad_safe=False):
         """Simulate once and value the CURRENT EVENT's products at each
         exercise step (padded to the largest per-event group): the
         collector computes a [P_max, n] @ [n, paths] annuity matmul on the
@@ -986,13 +1089,15 @@ class LMMValuationEngine:
         def collect(e, ev, L, N):
             """Local (unnormalized) f64 path sums of payoff/numeraire and
             of 1/numeraire for event ``ev``'s products (exercise index e)."""
-            contrib, inv_n = self._event_contrib(e, ev, L, N, consts)
+            contrib, inv_n = self._event_contrib(e, ev, L, N, consts,
+                                                 grad_safe=grad_safe)
             raw = jnp.sum(contrib, axis=-1)
             inv_safe = jnp.where(jnp.isfinite(inv_n), inv_n, 0.0)
             return raw, jnp.sum(inv_safe)
 
         spot = model.measure == "spot"
-        raw_steps, inv_steps = self._simulate_collect(params, collect, inc)
+        raw_steps, inv_steps = self._simulate_collect(params, collect, inc,
+                                                      fwd0, remat, grad_safe)
         # gather each product's own event (by sim step in fused mode, by
         # event ordinal in segmented mode) and slot, then reduce once
         if self.scan_mode == "segmented":
@@ -1082,6 +1187,101 @@ class LMMValuationEngine:
 
     def jacobian(self, params) -> np.ndarray:
         return np.asarray(self._jac_fn(jnp.asarray(params, dtype=jnp.float64)))
+
+    # ------------------------------------------------------------------
+    # AAD risk ladders: reverse-mode sensitivities of the Monte-Carlo
+    # values w.r.t. the initial forward curve, differentiated through the
+    # FULL Euler simulation (measure drift, blended local-vol anchor,
+    # stochastic-vol scaling, payoff, numeraire) in ONE backward pass on
+    # device. The reference's AAD route is finmath-lib's host-side tape
+    # (RandomVariableDifferentiableAAD) over eagerly dispatched device
+    # ops; here the whole pathwise adjoint is a single fused XLA program
+    # with jax.checkpoint bounding memory to O(steps x paths) carries.
+    # Held fixed (documented, standard pathwise-MC delta): the product
+    # definitions (strikes, schedules) and the deterministic-numeraire
+    # control's discount factors; the terminal-measure P(0, T_n) IS
+    # differentiated.
+    def _build_forward_delta_core(self):
+        model = self.model
+        df_ex = jnp.asarray(self._df_exercise)
+
+        def core(params, fwd0, weights, inc):
+            raw, mean_inv = self._simulate_and_value(params, inc, fwd0=fwd0,
+                                                     remat=True,
+                                                     grad_safe=True)
+            if model.measure != "spot":
+                # _simulate_and_value applied the HOST-constant P(0, T_n);
+                # swap it for the fwd0-differentiable one
+                deltas = jnp.asarray(model.deltas)
+                p0 = jnp.prod(1.0 / (1.0 + deltas * fwd0))
+                scale = p0 / self._p0_terminal
+                raw, mean_inv = raw * scale, mean_inv * scale
+            if model.use_numeraire_adjustment:
+                raw = raw * jnp.where(mean_inv > 0.0, df_ex / mean_inv, 0.0)
+            return jnp.sum(weights * raw)
+
+        return core
+
+    def _wrap_delta(self, core):
+        """jit-wrap ``core(params, fwd0, weights, inc)`` like
+        ``_wrap_public`` does for params-only functions (mesh + injected
+        increments combinations)."""
+        mesh = self.mesh
+        if mesh is None:
+            if self._inc_np is None:
+                f = lambda p, f0, w: core(p, f0, w, None)   # noqa: E731
+            else:
+                inc = jnp.asarray(self._inc_np)
+                f = lambda p, f0, w: core(p, f0, w, inc)    # noqa: E731
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            if self._inc_np is None:
+                f = jax.shard_map(
+                    lambda p, f0, w: core(p, f0, w, None),
+                    mesh=mesh, in_specs=(P(), P(), P()), out_specs=P())
+            else:
+                smapped = jax.shard_map(
+                    core, mesh=mesh,
+                    in_specs=(P(), P(), P(),
+                              P(None, None, self.path_axis)),
+                    out_specs=P())
+                inc = jnp.asarray(self._inc_np)
+                f = lambda p, f0, w: smapped(p, f0, w, inc)  # noqa: E731
+        return f
+
+    def forward_deltas(self, params, weights=None):
+        """Bucketed delta ladder of the (weighted) product portfolio:
+        returns ``(portfolio_value, dV/dL0 [num_libors])`` from one
+        forward + one backward pass. ``weights`` defaults to an equal-
+        weight portfolio of all products."""
+        if getattr(self, "_forward_delta_fn", None) is None:
+            self._forward_delta_fn = jax.jit(
+                jax.value_and_grad(self._wrap_delta(
+                    self._build_forward_delta_core()), argnums=1))
+        w = (np.ones(len(self.products))
+             if weights is None else np.asarray(weights, dtype=np.float64))
+        v, g = self._forward_delta_fn(
+            jnp.asarray(params, dtype=jnp.float64),
+            jnp.asarray(self.model.initial_forwards, dtype=jnp.float64),
+            jnp.asarray(w))
+        return float(v), np.asarray(g)
+
+    def forward_delta_matrix(self, params) -> np.ndarray:
+        """Per-product delta ladder ``[P, num_libors]`` — vmapped one-hot
+        portfolio gradients, i.e. P backward passes in one device
+        program. Linear in P in both FLOPs and live memory; use
+        ``forward_deltas`` (one pass) for portfolio-level risk at
+        production path counts."""
+        if getattr(self, "_forward_delta_matrix_fn", None) is None:
+            f = self._wrap_delta(self._build_forward_delta_core())
+            self._forward_delta_matrix_fn = jax.jit(
+                jax.vmap(jax.grad(f, argnums=1), in_axes=(None, None, 0)))
+        eye = jnp.eye(len(self.products), dtype=jnp.float64)
+        return np.asarray(self._forward_delta_matrix_fn(
+            jnp.asarray(params, dtype=jnp.float64),
+            jnp.asarray(self.model.initial_forwards, dtype=jnp.float64),
+            eye))
 
     # ------------------------------------------------------------------
     # batched (multi-start) evaluation: ONE device program evaluates the
