@@ -1,0 +1,62 @@
+"""Counterparty exposure profiles and CVA on the LIBOR Market Model.
+
+The exposure collector rides the SAME fused simulation as the pricer: one
+device program produces EE(t) / ENE(t) / PFE quantiles at every tenor date
+plus the CVA integral — no per-observation re-simulation.
+
+Run: python examples/08_exposure_cva.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    from finmath_tpu.models.lmm.atm_calibration import build_atm_calibration
+    from finmath_tpu.models.lmm.exposure import SwapExposureEngine
+
+    # the ATM workload's 40Y EUR model (bootstrapped curves + piecewise
+    # vol); exposure of a 2Y-forward-starting 8Y payer swap struck at par
+    setup = build_atm_calibration(num_paths=20_000, num_factors=1)
+    params = setup.covariance.initial_parameters
+
+    from finmath_tpu.models.curves import par_swap_rate
+
+    model = setup.model
+    par = par_swap_rate(model.forward_curve, model.discount_curve,
+                        model.tenor_times[4:21])
+    print(f"par rate of the underlying swap: {par * 100:.4f}%")
+
+    engine = SwapExposureEngine(
+        setup.model, first_index=4, last_index=20, strike=par,
+        payer=True, notional=1_000_000.0, num_paths=20_000,
+        num_factors=1, quantiles=(0.95, 0.99))
+
+    prof = engine.profile(params)
+    analytic = engine.analytic_forward_values()
+
+    print(f"{'t':>5} {'EE':>12} {'ENE':>12} {'fwd value':>12} "
+          f"{'analytic':>12} {'PFE 95%':>12} {'PFE 99%':>12}")
+    for i, t in enumerate(prof.times):
+        print(f"{t:5.1f} {prof.ee[i]:12.0f} {prof.ene[i]:12.0f} "
+              f"{prof.forward_value[i]:12.0f} {analytic[i]:12.0f} "
+              f"{prof.pfe[0.95][i]:12.0f} {prof.pfe[0.99][i]:12.0f}")
+
+    print(f"\npeak EE {np.max(prof.ee):,.0f} at t={prof.times[np.argmax(prof.ee)]}")
+    print(f"peak PFE(99%) {prof.max_pfe(0.99):,.0f}")
+    print(f"martingale check: max |fwd - analytic| = "
+          f"{np.max(np.abs(prof.forward_value - analytic)):,.1f} "
+          f"(Monte-Carlo error on a {engine.notional:,.0f} notional)")
+
+    # unilateral CVA against a 120 bp flat-hazard counterparty, 40% recovery
+    for h in (0.004, 0.012, 0.03):
+        cva = engine.cva(params, hazard_rate=h, recovery=0.4)
+        print(f"CVA @ hazard {h * 1e4:5.0f} bp: {cva:12,.0f}")
+
+
+if __name__ == "__main__":
+    main()

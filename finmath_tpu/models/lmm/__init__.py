@@ -16,6 +16,7 @@ from .benchmark_calibration import (
 from .analytic_approximation import LMMAnalyticSwaptionEngine
 from .bermudan import BermudanSwaption, BermudanSwaptionPricer
 from .products import CapFloor
+from .exposure import ExposureProfile, SwapExposureEngine
 from .eager import eager_swaption_valuation
 
 __all__ = [
@@ -37,5 +38,7 @@ __all__ = [
     "BermudanSwaption",
     "BermudanSwaptionPricer",
     "CapFloor",
+    "ExposureProfile",
+    "SwapExposureEngine",
     "eager_swaption_valuation",
 ]
