@@ -16,7 +16,12 @@ from .benchmark_calibration import (
 from .analytic_approximation import LMMAnalyticSwaptionEngine
 from .bermudan import BermudanSwaption, BermudanSwaptionPricer
 from .products import CapFloor
-from .exposure import ExposureProfile, SwapExposureEngine
+from .exposure import (
+    ExposureProfile,
+    SwapExposureEngine,
+    SwaptionExposureEngine,
+    cva_from_profile,
+)
 from .eager import eager_swaption_valuation
 
 __all__ = [
@@ -40,5 +45,7 @@ __all__ = [
     "CapFloor",
     "ExposureProfile",
     "SwapExposureEngine",
+    "SwaptionExposureEngine",
+    "cva_from_profile",
     "eager_swaption_valuation",
 ]

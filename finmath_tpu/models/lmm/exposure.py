@@ -41,6 +41,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...ops.conditional_expectation import regression_fit, regression_predict
 from ...ops.random_variable import ACC_DTYPE
 from .model import (
     LIBORMarketModelTPU,
@@ -48,6 +49,38 @@ from .model import (
     SwaptionProduct,
     bond_ratio_cumprod_hi,
 )
+
+
+def cva_from_profile(profile: "ExposureProfile",
+                     hazard_rate: Optional[float] = None,
+                     recovery: float = 0.4,
+                     default_probabilities: Optional[Sequence[float]] = None
+                     ) -> float:
+    """Unilateral CVA from a dated exposure profile:
+    ``(1 - R) * sum_i EE(t_i) * PD(t_{i-1}, t_i]`` (rectangle rule on the
+    discounted EE profile — the standard discretization of
+    ``(1-R) \\int EE(t) dPD(t)``).
+
+    Provide EITHER a flat ``hazard_rate`` (survival ``exp(-h t)``) OR
+    explicit per-interval ``default_probabilities`` (one per observation
+    date, summing to <= 1)."""
+    if (hazard_rate is None) == (default_probabilities is None):
+        raise ValueError(
+            "provide exactly one of hazard_rate / default_probabilities")
+    if hazard_rate is not None:
+        t = np.concatenate([[0.0], profile.times])
+        surv = np.exp(-float(hazard_rate) * t)
+        pd = surv[:-1] - surv[1:]
+    else:
+        pd = np.asarray(default_probabilities, dtype=np.float64)
+        if pd.shape != profile.times.shape:
+            raise ValueError(
+                f"need one default probability per observation date "
+                f"({profile.times.shape[0]}), got {pd.shape}")
+        if pd.min() < -1e-12 or pd.sum() > 1.0 + 1e-12:
+            raise ValueError("default probabilities must be a "
+                             "sub-probability vector")
+    return float((1.0 - float(recovery)) * np.sum(profile.ee * pd))
 
 
 @dataclass(frozen=True)
@@ -269,21 +302,214 @@ class SwapExposureEngine:
         Provide EITHER a flat ``hazard_rate`` (survival ``exp(-h t)``) OR
         explicit per-interval ``default_probabilities`` (len = number of
         observation dates, summing to <= 1)."""
-        prof = self.profile(params)
-        if (hazard_rate is None) == (default_probabilities is None):
-            raise ValueError(
-                "provide exactly one of hazard_rate / default_probabilities")
-        if hazard_rate is not None:
-            t = np.concatenate([[0.0], prof.times])
-            surv = np.exp(-float(hazard_rate) * t)
-            pd = surv[:-1] - surv[1:]
-        else:
-            pd = np.asarray(default_probabilities, dtype=np.float64)
-            if pd.shape != prof.times.shape:
-                raise ValueError(
-                    f"need one default probability per observation date "
-                    f"({prof.times.shape[0]}), got {pd.shape}")
-            if pd.min() < -1e-12 or pd.sum() > 1.0 + 1e-12:
-                raise ValueError("default probabilities must be a "
-                                 "sub-probability vector")
-        return float((1.0 - float(recovery)) * np.sum(prof.ee * pd))
+        return cva_from_profile(self.profile(params), hazard_rate,
+                                recovery, default_probabilities)
+
+
+class SwaptionExposureEngine:
+    """Exposure profile of a European (payer) swaption — the product whose
+    exposure is NOT analytic in the time-t curve: before expiry the value
+    is a conditional expectation, estimated pathwise by least-squares
+    regression on the time-t par swap rate of the underlying
+    (Longstaff-Schwartz; the TPU-native analog of finmath-lib's
+    ``ExposureEstimator`` wrapping
+    ``MonteCarloConditionalExpectationRegression`` — see
+    ops/conditional_expectation.py for the device regression).
+
+    ``physical=True``: exercise at ``T_x`` into the underlying swap on
+    in-the-money paths, so exposure continues on the exercised swap until
+    its final payment (and can go NEGATIVE — the exercised swap is a
+    two-way obligation). ``physical=False`` (cash settlement): exposure
+    dies at expiry.
+
+    Convention notes mirroring ``SwapExposureEngine``; additionally:
+
+    * ``ee`` uses the FLOORED regression estimate ``max(E[H|F_t], 0)``
+      before expiry (the conditional value of an option is nonnegative;
+      the floor removes regression noise below zero).
+    * ``forward_value`` keeps the RAW regression mean — with a constant in
+      the basis, least squares preserves the mean exactly, so
+      ``forward_value`` is CONSTANT (= the swaption value) at every
+      observation up to expiry: the martingale diagnostic the tests
+      assert.
+    """
+
+    def __init__(self, model: LIBORMarketModelTPU, exercise_index: int,
+                 num_periods: int, strike: float, physical: bool = True,
+                 notional: float = 1.0, num_paths: int = 50_000,
+                 num_factors: int = 1, seed: int = 31415,
+                 antithetic: bool = False, increments=None,
+                 basis_degree: int = 2,
+                 quantiles: Sequence[float] = (0.95, 0.99)):
+        n = model.num_libors
+        x, m = int(exercise_index), int(num_periods)
+        if not (1 <= x and m >= 1 and x + m <= n):
+            raise ValueError("swaption does not fit on the tenor grid")
+        if basis_degree < 1:
+            raise ValueError("basis_degree must be >= 1")
+        self.model = model
+        self.exercise_index = x
+        self.num_periods = m
+        self.strike = float(strike)
+        self.physical = bool(physical)
+        self.notional = float(notional)
+        self.basis_degree = int(basis_degree)
+        self.quantiles = tuple(float(q) for q in quantiles)
+        last = x + m
+        obs = list(range(1, last if physical else x + 1))
+        self.observation_indices = obs
+        self._ev_x = obs.index(x)
+
+        products = [
+            SwaptionProduct(e, last - e, self.strike, 0.0,
+                            value_unit="VALUE")
+            for e in obs
+        ]
+        self.engine = LMMValuationEngine(
+            model, products, num_paths, num_factors, seed=seed,
+            scan_mode="segmented", antithetic=antithetic,
+            increments=increments)
+
+        # underlying-swap geometry per observation: remaining periods
+        # [max(e, x), last) — identical to a forward-starting swap with
+        # first_index = x
+        E = len(obs)
+        deltas = model.deltas
+        pay_mask = np.zeros((E, n), dtype=np.float64)
+        start_m1 = np.zeros(E, dtype=np.int64)
+        is_fwd = np.zeros(E, dtype=bool)
+        for ev, e in enumerate(obs):
+            start = max(e, x)
+            pay_mask[ev, start:last] = deltas[start:last]
+            start_m1[ev] = max(start - 1, 0)
+            is_fwd[ev] = start > e
+        self._pay_mask_np = pay_mask
+        self._start_m1_np = start_m1
+        self._is_fwd_np = is_fwd
+        self._end_m1 = last - 1
+        dc = model.discount_curve
+        self._df_obs_np = np.asarray(
+            [float(dc.get_discount_factor(float(model.tenor_times[e])))
+             for e in obs])
+        self._obs_times = np.asarray(
+            [float(model.tenor_times[e]) for e in obs])
+
+        self._profile_fn = self._build_profile_fn()
+
+    # ------------------------------------------------------------------
+    def _build_profile_fn(self):
+        eng = self.engine
+        model = self.model
+        cdtype = eng.collect_dtype
+        n = model.num_libors
+        spot = model.measure == "spot"
+        deltas = jnp.asarray(model.deltas, dtype=cdtype)
+        pay_mask = jnp.asarray(self._pay_mask_np, dtype=eng.dtype)
+        start_m1 = jnp.asarray(self._start_m1_np)
+        is_fwd = jnp.asarray(self._is_fwd_np)
+        end_m1 = int(self._end_m1)
+        strike = float(self.strike)
+        j_iota = jnp.arange(n)[:, None]
+        qs = jnp.asarray(self.quantiles, dtype=ACC_DTYPE)
+        df_obs = jnp.asarray(self._df_obs_np, dtype=ACC_DTYPE)
+        ev_x = self._ev_x
+        E = len(self.observation_indices)
+        degree = self.basis_degree
+
+        def collect(e, ev, L, N):
+            """(V_swap(t)/units-of-t, 1/N(t), par rate of the remaining
+            underlying) at the observation with ordinal ``ev``."""
+            deltas_col = deltas[:, None].astype(L.dtype)
+            cp = bond_ratio_cumprod_hi(L, deltas_col, e, j_iota, cdtype)
+            if spot:
+                inv_n = 1.0 / N.astype(ACC_DTYPE)
+            else:
+                inv_n = 1.0 / cp[n - 1].astype(ACC_DTYPE)
+            ann = jnp.matmul(pay_mask[ev][None, :], cp.astype(eng.dtype),
+                             precision=jax.lax.Precision.HIGHEST)[0]
+            p_start = jnp.where(is_fwd[ev], cp[start_m1[ev]],
+                                jnp.ones_like(cp[0]))
+            float_leg = (p_start.astype(cdtype)
+                         - cp[end_m1].astype(cdtype))     # [paths]
+            ann64 = ann.astype(ACC_DTYPE)
+            v_t = float_leg.astype(ACC_DTYPE) - strike * ann64
+            srate = float_leg.astype(ACC_DTYPE) / jnp.maximum(ann64, 1e-12)
+            return v_t, inv_n, srate
+
+        def core(params, inc):
+            v_t, inv_n, srate = eng._simulate_collect(params, collect, inc)
+            finite = (jnp.isfinite(v_t) & jnp.isfinite(inv_n)
+                      & jnp.isfinite(srate))
+            v_t = jnp.where(finite, v_t, 0.0)
+            inv_n = jnp.where(finite, inv_n, 0.0)
+            srate = jnp.where(finite, srate, 0.0)
+            if not spot:
+                inv_n = inv_n * eng._p0_terminal
+            mean_inv = jnp.mean(inv_n, axis=-1)
+            if model.use_numeraire_adjustment:
+                adj = jnp.where(mean_inv > 0.0, df_obs / mean_inv, 0.0)
+            else:
+                adj = jnp.ones_like(mean_inv)
+            scale = self.notional
+            # discounted exercise value (today's money) + exercise set
+            h_disc = (jnp.maximum(v_t[ev_x], 0.0)
+                      * inv_n[ev_x] * adj[ev_x] * scale)  # [paths]
+            exercised = v_t[ev_x] > 0.0
+            ee, ene, fwd, pfe = [], [], [], []
+            for ev in range(E):
+                if ev < ev_x:
+                    # LS regression of the discounted payoff on the par
+                    # rate of the underlying at this observation
+                    basis = jnp.stack(
+                        [srate[ev].astype(eng.dtype) ** k
+                         for k in range(degree + 1)])     # [B, paths]
+                    beta = regression_fit(basis, h_disc)
+                    pred = regression_predict(basis, beta).astype(ACC_DTYPE)
+                    expo = jnp.maximum(pred, 0.0)
+                    fwd.append(jnp.mean(pred))
+                elif ev == ev_x:
+                    expo = h_disc
+                    fwd.append(jnp.mean(h_disc))
+                else:
+                    # physical exercise: the swap lives on exercised paths
+                    expo = jnp.where(
+                        exercised,
+                        v_t[ev] * inv_n[ev] * adj[ev] * scale, 0.0)
+                    fwd.append(jnp.mean(expo))
+                ee.append(jnp.mean(jnp.maximum(expo, 0.0)))
+                ene.append(jnp.mean(jnp.minimum(expo, 0.0)))
+                # undiscounted time-t exposure for PFE quantiles
+                undisc = jnp.where(inv_n[ev] > 0.0,
+                                   expo / (inv_n[ev] * adj[ev]), 0.0)
+                pfe.append(jnp.quantile(undisc, qs))
+            return (jnp.stack(ee), jnp.stack(ene), jnp.stack(fwd),
+                    jnp.stack(pfe, axis=-1))              # pfe [Q, E]
+
+        if eng._inc_np is not None:
+            inc = jnp.asarray(eng._inc_np)
+            return jax.jit(lambda p: core(p, inc))
+        return jax.jit(lambda p: core(p, None))
+
+    # ------------------------------------------------------------------
+    def profile(self, params) -> ExposureProfile:
+        """Full dated exposure profile — one device dispatch (simulation,
+        all regressions, reductions in a single jitted program)."""
+        params = jnp.asarray(params, dtype=self.engine.dtype)
+        ee, ene, fwd, pfe = self._profile_fn(params)
+        pfe = np.asarray(pfe)
+        return ExposureProfile(
+            times=self._obs_times.copy(),
+            ee=np.asarray(ee),
+            ene=np.asarray(ene),
+            forward_value=np.asarray(fwd),
+            pfe={q: pfe[i] for i, q in enumerate(self.quantiles)},
+        )
+
+    # ------------------------------------------------------------------
+    def cva(self, params, hazard_rate: Optional[float] = None,
+            recovery: float = 0.4,
+            default_probabilities: Optional[Sequence[float]] = None
+            ) -> float:
+        """Unilateral CVA of the swaption (see ``cva_from_profile``)."""
+        return cva_from_profile(self.profile(params), hazard_rate,
+                                recovery, default_probabilities)

@@ -116,6 +116,105 @@ class TestSwapExposure:
                                observation_indices=[6])  # >= last_index
 
 
+class TestSwaptionExposure:
+    """Exposure of a product whose time-t value is a CONDITIONAL
+    expectation (Longstaff-Schwartz regression on the par swap rate)."""
+
+    X, M = 8, 8  # 4Y expiry into a 4Y swap
+
+    @pytest.fixture(scope="class")
+    def swaption_setup(self, setup):
+        from finmath_tpu.models.curves import par_swap_rate
+        from finmath_tpu.models.lmm.exposure import SwaptionExposureEngine
+
+        model = setup.model
+        strike = par_swap_rate(model.forward_curve, model.discount_curve,
+                               model.tenor_times[self.X:self.X + self.M + 1])
+        eng = SwaptionExposureEngine(
+            model, self.X, self.M, strike, physical=True,
+            num_paths=N_PATHS, num_factors=1, seed=123)
+        return eng, eng.profile(setup.covariance.initial_parameters), strike
+
+    def test_regression_preserves_the_mean(self, swaption_setup):
+        """With a constant in the basis, least squares preserves the mean
+        exactly: forward_value is CONSTANT (= the discounted expected
+        payoff) at every observation up to and including expiry."""
+        eng, prof, _ = swaption_setup
+        up_to_x = prof.forward_value[:eng._ev_x + 1]
+        assert np.max(np.abs(up_to_x - up_to_x[-1])) < 1e-10
+
+    def test_value_matches_valuation_engine(self, setup, swaption_setup):
+        """forward_value at expiry == the swaption price from a fresh
+        valuation engine on the same seed (identical Brownian stream,
+        identical collector arithmetic)."""
+        from finmath_tpu.models.lmm.model import (LMMValuationEngine,
+                                                  SwaptionProduct)
+
+        eng, prof, strike = swaption_setup
+        pricer = LMMValuationEngine(
+            setup.model,
+            [SwaptionProduct(self.X, self.M, strike, 0.0,
+                             value_unit="VALUE")],
+            N_PATHS, 1, seed=123)
+        value = float(pricer.values(setup.covariance.initial_parameters)[0])
+        assert prof.forward_value[eng._ev_x] == pytest.approx(value,
+                                                              rel=1e-9)
+
+    def test_option_exposure_is_nonnegative_before_expiry(self,
+                                                          swaption_setup):
+        eng, prof, _ = swaption_setup
+        k = eng._ev_x + 1
+        assert np.all(prof.ee[:k] >= 0.0)
+        assert np.all(prof.ene[:k] == 0.0)  # an option is never a liability
+        # Jensen: EE >= the (positive) forward value
+        assert np.all(prof.ee[:k] >= prof.forward_value[:k] - 1e-12)
+
+    def test_physical_exercise_continues_and_can_go_negative(
+            self, swaption_setup):
+        """After physical exercise the position is a two-way swap on the
+        exercised set: exposure continues and ENE can be negative."""
+        eng, prof, _ = swaption_setup
+        k = eng._ev_x
+        assert len(prof.times) == self.X + self.M - 1
+        assert np.any(prof.ee[k + 1:] > 0.0)
+        assert np.all(prof.ene[k + 1:] <= 0.0)
+        # the exercised swap amortizes: the final exposure is small
+        assert prof.ee[-1] < 0.5 * np.max(prof.ee)
+
+    def test_cash_settlement_dies_at_expiry(self, setup, swaption_setup):
+        from finmath_tpu.models.lmm.exposure import SwaptionExposureEngine
+
+        _, _, strike = swaption_setup
+        eng = SwaptionExposureEngine(
+            setup.model, self.X, self.M, strike, physical=False,
+            num_paths=N_PATHS, num_factors=1, seed=123)
+        prof = eng.profile(setup.covariance.initial_parameters)
+        assert len(prof.times) == self.X
+        assert prof.times[-1] == pytest.approx(
+            float(setup.model.tenor_times[self.X]))
+
+    def test_exposure_peaks_at_expiry_for_atm(self, swaption_setup):
+        """An ATM swaption's discounted EE grows toward expiry (more
+        optionality resolved) then amortizes on the exercised swap."""
+        eng, prof, _ = swaption_setup
+        k = eng._ev_x
+        assert prof.ee[k] == pytest.approx(np.max(prof.ee[:k + 1]),
+                                           rel=0.15)
+
+    def test_cva_positive(self, setup, swaption_setup):
+        eng, _, _ = swaption_setup
+        c = eng.cva(setup.covariance.initial_parameters, hazard_rate=0.01)
+        assert c > 0.0
+
+    def test_invalid_args_raise(self, setup):
+        from finmath_tpu.models.lmm.exposure import SwaptionExposureEngine
+
+        with pytest.raises(ValueError):
+            SwaptionExposureEngine(setup.model, 0, 4, 0.01)
+        with pytest.raises(ValueError):
+            SwaptionExposureEngine(setup.model, 4, 4, 0.01, basis_degree=0)
+
+
 class TestCVA:
     def test_cva_zero_hazard_zero(self, setup, profile_and_engine):
         _, eng = profile_and_engine
