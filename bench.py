@@ -717,6 +717,34 @@ def bench_exposure():
         ts.append(time.perf_counter() - t0)
     martingale_err = float(np.max(np.abs(
         prof.forward_value - eng.analytic_forward_values())))
+
+    # netting set: 20 mixed trades — the per-date annuity work becomes ONE
+    # [20, 80] @ [80, paths] MXU matmul; netted + standalone EE in the
+    # same pass
+    from finmath_tpu.models.lmm.exposure import (NettingSetExposureEngine,
+                                                 SwapTrade)
+
+    rng = np.random.default_rng(7)
+    trades = []
+    for k in range(20):
+        first = int(rng.integers(1, 20))
+        last = int(rng.integers(first + 1, 40))
+        trades.append(SwapTrade(first, last,
+                                float(rng.uniform(0.0, 0.02)),
+                                payer=bool(k % 2),
+                                notional=float(rng.uniform(0.5, 2.0))))
+    nset = NettingSetExposureEngine(model, trades, num_paths=paths,
+                                    num_factors=1)
+    t0 = time.perf_counter()
+    nprof = nset.profile(p0)
+    n_compile_s = time.perf_counter() - t0
+    ts_n = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        nprof = nset.profile(p0)
+        ts_n.append(time.perf_counter() - t0)
+    n_mart = float(np.max(np.abs(
+        nprof.forward_value - nset.analytic_forward_values())))
     return {
         "paths": paths,
         "observation_dates": len(prof.times),
@@ -727,50 +755,53 @@ def bench_exposure():
         "cva_100bp": float(eng.cva(p0, hazard_rate=0.01)),
         "martingale_max_abs_err": martingale_err,
         "martingale_pass": bool(martingale_err < 1e-3),
+        "netting_set_20_trades": {
+            "observation_dates": len(nprof.times),
+            "wall_ms": round(float(min(ts_n)) * 1000, 3),
+            "compile_s": round(n_compile_s, 3),
+            "peak_netted_ee": float(np.max(nprof.ee)),
+            "peak_standalone_ee": float(np.max(nprof.ee_standalone)),
+            "peak_netting_benefit": float(np.max(nprof.netting_benefit)),
+            "martingale_max_abs_err": n_mart,
+            "martingale_pass": bool(n_mart < 2e-3),
+        },
     }
 
 
+def _leg(detail, key, fn, attempts=2):
+    """Run a secondary bench leg; one retry on failure (the remote compile
+    service occasionally drops a response mid-body — observed
+    'INTERNAL: remote_compile: response body closed before all bytes were
+    read' killing an otherwise healthy leg; the retry recompiles from the
+    persistent cache). Secondary legs must never break the headline."""
+    for attempt in range(attempts):
+        try:
+            detail[key] = fn()
+            return
+        except Exception as exc:  # noqa: BLE001 — report, don't crash
+            detail[f"{key}_error"] = f"attempt {attempt + 1}: {exc}"
+
+
 def main():
-    result = bench_lmm_atm_calibration()
-    try:
-        result["detail"]["mc_black_scholes_1m_100steps"] = bench_mc_black_scholes()
-    except Exception as exc:  # secondary config must not break the headline
-        result["detail"]["mc_black_scholes_error"] = str(exc)
-    try:
-        result["detail"]["stochvol_calibration"] = [
-            bench_stochvol_calibration(81_920),
-            bench_stochvol_calibration(163_840),
-        ]
-    except Exception as exc:
-        result["detail"]["stochvol_calibration_error"] = str(exc)
-    try:
-        result["detail"]["brownian_generation_100x_1m_x10"] = bench_brownian_generation()
-    except Exception as exc:
-        result["detail"]["brownian_generation_error"] = str(exc)
-    try:
-        result["detail"]["parity_1e6"] = bench_parity_1e6()
-    except Exception as exc:
-        result["detail"]["parity_1e6_error"] = str(exc)
-    try:
-        result["detail"]["lmm_pricer_kernels_409600"] = bench_lmm_pricer_kernels()
-    except Exception as exc:
-        result["detail"]["lmm_pricer_kernels_error"] = str(exc)
-    try:
-        result["detail"]["eager_ops_100k"] = bench_eager_ops()
-    except Exception as exc:
-        result["detail"]["eager_ops_error"] = str(exc)
-    try:
-        result["detail"]["bermudan_ls_100k"] = bench_bermudan()
-    except Exception as exc:
-        result["detail"]["bermudan_error"] = str(exc)
-    try:
-        result["detail"]["aad_greeks"] = bench_aad_greeks()
-    except Exception as exc:
-        result["detail"]["aad_greeks_error"] = str(exc)
-    try:
-        result["detail"]["exposure_cva"] = bench_exposure()
-    except Exception as exc:
-        result["detail"]["exposure_error"] = str(exc)
+    for attempt in range(2):     # headline retry: same transient-compile
+        try:                     # failure mode as the secondary legs
+            result = bench_lmm_atm_calibration()
+            break
+        except Exception:
+            if attempt:
+                raise
+    detail = result["detail"]
+    _leg(detail, "mc_black_scholes_1m_100steps", bench_mc_black_scholes)
+    _leg(detail, "stochvol_calibration",
+         lambda: [bench_stochvol_calibration(81_920),
+                  bench_stochvol_calibration(163_840)])
+    _leg(detail, "brownian_generation_100x_1m_x10", bench_brownian_generation)
+    _leg(detail, "parity_1e6", bench_parity_1e6)
+    _leg(detail, "lmm_pricer_kernels_409600", bench_lmm_pricer_kernels)
+    _leg(detail, "eager_ops_100k", bench_eager_ops)
+    _leg(detail, "bermudan_ls_100k", bench_bermudan)
+    _leg(detail, "aad_greeks", bench_aad_greeks)
+    _leg(detail, "exposure_cva", bench_exposure)
 
     # the detail block is large; keep the REQUIRED summary as its own
     # compact final line (driver-parse-safe even when stdout is

@@ -57,6 +57,44 @@ def main():
         cva = engine.cva(params, hazard_rate=h, recovery=0.4)
         print(f"CVA @ hazard {h * 1e4:5.0f} bp: {cva:12,.0f}")
 
+    # ---- netting set: offsetting trades share one close-out value -------
+    from finmath_tpu.models.lmm.exposure import (NettingSetExposureEngine,
+                                                 SwapTrade)
+
+    netting = NettingSetExposureEngine(
+        model,
+        trades=[
+            SwapTrade(4, 20, par, payer=True, notional=1_000_000.0),
+            SwapTrade(2, 12, 0.002, payer=False, notional=700_000.0),
+            SwapTrade(6, 16, 0.004, payer=True, notional=300_000.0),
+        ],
+        num_paths=20_000, num_factors=1)
+    nprof = netting.profile(params)
+    print("\nnetting set (3 trades):")
+    print(f"  peak netted EE     {np.max(nprof.ee):12,.0f}")
+    print(f"  peak standalone EE {np.max(nprof.ee_standalone):12,.0f}")
+    print(f"  peak netting benefit {np.max(nprof.netting_benefit):10,.0f}")
+    print(f"  netted CVA @120bp  "
+          f"{netting.cva(params, hazard_rate=0.012):12,.0f}")
+
+    # ---- swaption exposure: conditional value by LS regression ----------
+    from finmath_tpu.models.lmm.exposure import SwaptionExposureEngine
+
+    x, m_per = 10, 10
+    k_sw = par_swap_rate(model.forward_curve, model.discount_curve,
+                         model.tenor_times[x:x + m_per + 1])
+    sw = SwaptionExposureEngine(model, x, m_per, float(k_sw), physical=True,
+                                notional=1_000_000.0, num_paths=20_000,
+                                num_factors=1)
+    sprof = sw.profile(params)
+    ev_x = sw._ev_x
+    print(f"\n5Y-into-5Y payer swaption (physical): value "
+          f"{sprof.forward_value[ev_x]:,.0f}")
+    print(f"  EE at first obs / expiry / after exercise: "
+          f"{sprof.ee[0]:,.0f} / {sprof.ee[ev_x]:,.0f} / "
+          f"{sprof.ee[ev_x + 1]:,.0f}")
+    print(f"  post-exercise ENE (two-way swap): {sprof.ene[-1]:,.0f}")
+
 
 if __name__ == "__main__":
     main()

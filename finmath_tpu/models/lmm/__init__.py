@@ -18,7 +18,9 @@ from .bermudan import BermudanSwaption, BermudanSwaptionPricer
 from .products import CapFloor
 from .exposure import (
     ExposureProfile,
+    NettingSetExposureEngine,
     SwapExposureEngine,
+    SwapTrade,
     SwaptionExposureEngine,
     cva_from_profile,
 )
@@ -44,7 +46,9 @@ __all__ = [
     "BermudanSwaptionPricer",
     "CapFloor",
     "ExposureProfile",
+    "NettingSetExposureEngine",
     "SwapExposureEngine",
+    "SwapTrade",
     "SwaptionExposureEngine",
     "cva_from_profile",
     "eager_swaption_valuation",

@@ -102,47 +102,74 @@ class ExposureProfile:
     ene: np.ndarray
     forward_value: np.ndarray
     pfe: Dict[float, np.ndarray]
+    #: sum of the trades' STANDALONE expected exposures (netting-set
+    #: engines only; None for single-product profiles) — ``ee_standalone
+    #: - ee`` is the netting benefit
+    ee_standalone: Optional[np.ndarray] = None
 
     def max_pfe(self, q: float) -> float:
         """Peak PFE over the profile at quantile ``q``."""
         return float(np.max(self.pfe[q]))
 
+    @property
+    def netting_benefit(self) -> np.ndarray:
+        """Per-date reduction of EE from netting (>= 0 pointwise)."""
+        if self.ee_standalone is None:
+            raise ValueError("profile carries no standalone decomposition")
+        return self.ee_standalone - self.ee
 
-class SwapExposureEngine:
-    """Exposure profile of a (possibly forward-starting) interest-rate
-    swap over periods ``[first_index, last_index)`` of the model tenor
-    grid, fixed rate ``strike``, observed at every tenor date.
 
-    ``payer=True``: we receive float, pay fixed (exposure rises with
-    rates); ``payer=False`` mirrors the sign. One jitted program computes
-    the full profile: simulate once, collect V(t)/N(t) pathwise at every
-    observation date, reduce.
+@dataclass(frozen=True)
+class SwapTrade:
+    """One swap of a netting set: periods ``[first_index, last_index)``
+    on the model tenor grid, fixed rate ``strike``, ``payer`` direction,
+    signed by ``notional``."""
+
+    first_index: int
+    last_index: int
+    strike: float
+    payer: bool = True
+    notional: float = 1.0
+
+
+class NettingSetExposureEngine:
+    """Exposure profile of a NETTING SET of (possibly forward-starting)
+    interest-rate swaps, observed at every tenor date: pathwise values of
+    all trades are summed BEFORE the positive part (ISDA close-out
+    netting), so EE reflects offsetting positions; the standalone
+    (no-netting) EE sum is collected in the same pass for the netting
+    benefit.
+
+    One jitted program computes the full profile: simulate once, collect
+    every trade's V(t)/N(t) at every observation date (one
+    [trades x libors] @ [libors x paths] annuity matmul on the MXU per
+    date), reduce.
     """
 
-    def __init__(self, model: LIBORMarketModelTPU, first_index: int,
-                 last_index: int, strike: float, payer: bool = True,
-                 notional: float = 1.0, num_paths: int = 50_000,
+    def __init__(self, model: LIBORMarketModelTPU,
+                 trades: Sequence[SwapTrade], num_paths: int = 50_000,
                  num_factors: int = 1, seed: int = 31415,
                  antithetic: bool = False, increments=None,
                  observation_indices: Optional[Sequence[int]] = None,
                  quantiles: Sequence[float] = (0.95, 0.99)):
         n = model.num_libors
-        if not (1 <= first_index < last_index <= n):
-            raise ValueError("invalid swap period range")
+        trades = list(trades)
+        if not trades:
+            raise ValueError("need at least one trade")
+        for tr in trades:
+            if not (1 <= tr.first_index < tr.last_index <= n):
+                raise ValueError(f"invalid swap period range in {tr}")
         self.model = model
-        self.first_index = int(first_index)
-        self.last_index = int(last_index)
-        self.strike = float(strike)
-        self.payer = bool(payer)
-        self.notional = float(notional)
+        self.trades = trades
         self.quantiles = tuple(float(q) for q in quantiles)
+        last = max(tr.last_index for tr in trades)
         if observation_indices is None:
-            observation_indices = range(1, last_index)
+            observation_indices = range(1, last)
         obs = sorted({int(e) for e in observation_indices})
-        if not obs or obs[0] < 1 or obs[-1] >= last_index:
+        if not obs or obs[0] < 1 or obs[-1] >= last:
             raise ValueError(
-                "observation indices must lie in [1, last_index) — the swap "
-                "has no exposure at/after its final payment")
+                "observation indices must lie in [1, max(last_index)) — "
+                "the netting set has no exposure at/after its final payment")
         self.observation_indices = obs
 
         # event scaffolding: one placeholder product per observation date
@@ -154,8 +181,7 @@ class SwapExposureEngine:
         # proportional to the observation count, and it is the faster warm
         # mode for a program re-run per parameter vector.
         products = [
-            SwaptionProduct(e, last_index - e, self.strike, 0.0,
-                            value_unit="VALUE")
+            SwaptionProduct(e, last - e, 0.0, 0.0, value_unit="VALUE")
             for e in obs
         ]
         self.engine = LMMValuationEngine(
@@ -163,22 +189,35 @@ class SwapExposureEngine:
             scan_mode="segmented", antithetic=antithetic,
             increments=increments)
 
-        # static per-event swap geometry (remaining periods at each
-        # observation): float-leg start bond, fixed-leg pay mask, end bond
-        E = len(obs)
+        # static per-(event, trade) swap geometry: float-leg start bond,
+        # fixed-leg pay mask, end bond, and a signed-notional coefficient
+        # that is zero once the trade's last payment has passed
+        E, T = len(obs), len(trades)
         deltas = model.deltas
-        pay_mask = np.zeros((E, n), dtype=np.float64)
-        start_m1 = np.zeros(E, dtype=np.int64)     # index of P(t, T_start)
-        is_fwd = np.zeros(E, dtype=bool)           # observation before start
-        for ev, e in enumerate(obs):
-            start = max(e, self.first_index)
-            pay_mask[ev, start:last_index] = deltas[start:last_index]
-            start_m1[ev] = max(start - 1, 0)
-            is_fwd[ev] = start > e
+        pay_mask = np.zeros((E, T, n), dtype=np.float64)
+        start_m1 = np.zeros((E, T), dtype=np.int64)  # index of P(t, T_start)
+        is_fwd = np.zeros((E, T), dtype=bool)        # observation < start
+        coef = np.zeros((E, T), dtype=np.float64)    # sign * notional * alive
+        end_m1 = np.zeros(T, dtype=np.int64)
+        strikes = np.zeros(T, dtype=np.float64)
+        for t, tr in enumerate(trades):
+            end_m1[t] = tr.last_index - 1
+            strikes[t] = tr.strike
+            for ev, e in enumerate(obs):
+                if e >= tr.last_index:
+                    continue                         # trade matured: coef 0
+                start = max(e, tr.first_index)
+                pay_mask[ev, t, start:tr.last_index] = \
+                    deltas[start:tr.last_index]
+                start_m1[ev, t] = max(start - 1, 0)
+                is_fwd[ev, t] = start > e
+                coef[ev, t] = (1.0 if tr.payer else -1.0) * tr.notional
         self._pay_mask_np = pay_mask
         self._start_m1_np = start_m1
         self._is_fwd_np = is_fwd
-        self._end_m1 = last_index - 1
+        self._coef_np = coef
+        self._end_m1_np = end_m1
+        self._strikes_np = strikes
         dc = model.discount_curve
         self._df_obs_np = np.asarray(
             [float(dc.get_discount_factor(float(model.tenor_times[e])))
@@ -195,41 +234,50 @@ class SwapExposureEngine:
         cdtype = eng.collect_dtype
         n = model.num_libors
         spot = model.measure == "spot"
-        sign = 1.0 if self.payer else -1.0
         deltas = jnp.asarray(model.deltas, dtype=cdtype)
         pay_mask = jnp.asarray(self._pay_mask_np, dtype=eng.dtype)
         start_m1 = jnp.asarray(self._start_m1_np)
         is_fwd = jnp.asarray(self._is_fwd_np)
-        end_m1 = int(self._end_m1)
-        strike = float(self.strike)
+        coef = jnp.asarray(self._coef_np, dtype=ACC_DTYPE)
+        end_m1 = jnp.asarray(self._end_m1_np)
+        strikes = jnp.asarray(self._strikes_np, dtype=ACC_DTYPE)
         j_iota = jnp.arange(n)[:, None]
         qs = jnp.asarray(self.quantiles, dtype=ACC_DTYPE)
         df_obs = jnp.asarray(self._df_obs_np, dtype=ACC_DTYPE)
 
         def collect(e, ev, L, N):
-            """Pathwise (V(t)/N(t), 1/N(t)) of the remaining swap at the
-            observation with ordinal ``ev`` (tenor index ``e``)."""
+            """Pathwise (netted V(t)/units-of-t, standalone positive-part
+            sum, 1/N(t)) of the set's live trades at the observation with
+            ordinal ``ev`` (tenor index ``e``)."""
             deltas_col = deltas[:, None].astype(L.dtype)
             cp = bond_ratio_cumprod_hi(L, deltas_col, e, j_iota, cdtype)
             if spot:
                 inv_n = 1.0 / N.astype(ACC_DTYPE)
             else:
                 inv_n = 1.0 / cp[n - 1].astype(ACC_DTYPE)
-            # annuity on the MXU in the simulation dtype (the engine's
-            # measured precision split: the K-damped annuity tolerates f32)
-            ann = jnp.matmul(pay_mask[ev][None, :], cp.astype(eng.dtype),
-                             precision=jax.lax.Precision.HIGHEST)[0]
-            p_start = jnp.where(is_fwd[ev], cp[start_m1[ev]],
-                                jnp.ones_like(cp[0]))
-            v_t = (p_start.astype(cdtype) - cp[end_m1].astype(cdtype)
-                   - strike * ann.astype(cdtype))         # [paths], t-money
-            return v_t.astype(ACC_DTYPE), inv_n
+            # all trades' annuities in ONE [T, n] @ [n, paths] MXU matmul,
+            # in the simulation dtype (the engine's measured precision
+            # split: the K-damped annuity tolerates f32)
+            ann = jnp.matmul(pay_mask[ev], cp.astype(eng.dtype),
+                             precision=jax.lax.Precision.HIGHEST)  # [T, paths]
+            p_start = jnp.where(is_fwd[ev][:, None],
+                                jnp.take(cp, start_m1[ev], axis=0),
+                                1.0)                               # [T, paths]
+            p_end = jnp.take(cp, end_m1, axis=0)                   # [T, paths]
+            v_trade = coef[ev][:, None] * (
+                p_start.astype(ACC_DTYPE) - p_end.astype(ACC_DTYPE)
+                - strikes[:, None] * ann.astype(ACC_DTYPE))
+            v_net = jnp.sum(v_trade, axis=0)                       # [paths]
+            s_plus = jnp.sum(jnp.maximum(v_trade, 0.0), axis=0)    # [paths]
+            return v_net, s_plus, inv_n
 
         def core(params, inc):
-            v_t, inv_n = eng._simulate_collect(params, collect, inc)
+            v_t, s_plus, inv_n = eng._simulate_collect(params, collect, inc)
             # [E, paths] each (segmented mode: event-stacked)
-            finite = jnp.isfinite(v_t) & jnp.isfinite(inv_n)
+            finite = (jnp.isfinite(v_t) & jnp.isfinite(inv_n)
+                      & jnp.isfinite(s_plus))
             v_t = jnp.where(finite, v_t, 0.0)
+            s_plus = jnp.where(finite, s_plus, 0.0)
             inv_n = jnp.where(finite, inv_n, 0.0)
             if not spot:
                 inv_n = inv_n * eng._p0_terminal
@@ -238,14 +286,14 @@ class SwapExposureEngine:
                 adj = jnp.where(mean_inv > 0.0, df_obs / mean_inv, 0.0)
             else:
                 adj = jnp.ones_like(mean_inv)
-            scale = sign * self.notional
-            v_disc = scale * v_t * inv_n * adj[:, None]   # today's money
-            v_undisc = scale * v_t                        # t-money
+            disc = inv_n * adj[:, None]
+            v_disc = v_t * disc                           # today's money
             ee = jnp.mean(jnp.maximum(v_disc, 0.0), axis=-1)
             ene = jnp.mean(jnp.minimum(v_disc, 0.0), axis=-1)
             fwd = jnp.mean(v_disc, axis=-1)
-            pfe = jnp.quantile(v_undisc, qs, axis=-1)     # [Q, E]
-            return ee, ene, fwd, pfe
+            ee_standalone = jnp.mean(s_plus * disc, axis=-1)
+            pfe = jnp.quantile(v_t, qs, axis=-1)          # [Q, E], t-money
+            return ee, ene, fwd, pfe, ee_standalone
 
         if eng._inc_np is not None:
             inc = jnp.asarray(eng._inc_np)
@@ -257,7 +305,7 @@ class SwapExposureEngine:
         """Full dated exposure profile at covariance parameters ``params``
         — one device dispatch."""
         params = jnp.asarray(params, dtype=self.engine.dtype)
-        ee, ene, fwd, pfe = self._profile_fn(params)
+        ee, ene, fwd, pfe, ee_sa = self._profile_fn(params)
         pfe = np.asarray(pfe)
         return ExposureProfile(
             times=self._obs_times.copy(),
@@ -265,11 +313,12 @@ class SwapExposureEngine:
             ene=np.asarray(ene),
             forward_value=np.asarray(fwd),
             pfe={q: pfe[i] for i, q in enumerate(self.quantiles)},
+            ee_standalone=np.asarray(ee_sa),
         )
 
     # ------------------------------------------------------------------
     def analytic_forward_values(self) -> np.ndarray:
-        """t=0 curve value of the swap's remaining periods at each
+        """t=0 curve value of the set's remaining periods at each
         observation date — the analytic martingale benchmark for
         ``ExposureProfile.forward_value``."""
         model = self.model
@@ -279,14 +328,16 @@ class SwapExposureEngine:
         deltas = model.deltas
         out = []
         for e in self.observation_indices:
-            start = max(e, self.first_index)
             v = 0.0
-            for j in range(start, self.last_index):
-                f = float(fc.get_forward(tenor[j]))
-                v += deltas[j] * (f - self.strike) * float(
-                    dc.get_discount_factor(tenor[j + 1]))
-            sign = 1.0 if self.payer else -1.0
-            out.append(sign * self.notional * v)
+            for tr in self.trades:
+                if e >= tr.last_index:
+                    continue
+                sign = 1.0 if tr.payer else -1.0
+                for j in range(max(e, tr.first_index), tr.last_index):
+                    f = float(fc.get_forward(tenor[j]))
+                    v += sign * tr.notional * deltas[j] * (f - tr.strike) \
+                        * float(dc.get_discount_factor(tenor[j + 1]))
+            out.append(v)
         return np.asarray(out)
 
     # ------------------------------------------------------------------
@@ -304,6 +355,43 @@ class SwapExposureEngine:
         observation dates, summing to <= 1)."""
         return cva_from_profile(self.profile(params), hazard_rate,
                                 recovery, default_probabilities)
+
+
+class SwapExposureEngine(NettingSetExposureEngine):
+    """Exposure profile of a single (possibly forward-starting) swap over
+    periods ``[first_index, last_index)``, fixed rate ``strike`` — the
+    one-trade netting set.
+
+    ``payer=True``: we receive float, pay fixed (exposure rises with
+    rates); ``payer=False`` mirrors the sign."""
+
+    def __init__(self, model: LIBORMarketModelTPU, first_index: int,
+                 last_index: int, strike: float, payer: bool = True,
+                 notional: float = 1.0, num_paths: int = 50_000,
+                 num_factors: int = 1, seed: int = 31415,
+                 antithetic: bool = False, increments=None,
+                 observation_indices: Optional[Sequence[int]] = None,
+                 quantiles: Sequence[float] = (0.95, 0.99)):
+        n = model.num_libors
+        if not (1 <= first_index < last_index <= n):
+            raise ValueError("invalid swap period range")
+        self.first_index = int(first_index)
+        self.last_index = int(last_index)
+        self.strike = float(strike)
+        self.payer = bool(payer)
+        self.notional = float(notional)
+        if observation_indices is not None:
+            obs = sorted({int(e) for e in observation_indices})
+            if not obs or obs[0] < 1 or obs[-1] >= last_index:
+                raise ValueError(
+                    "observation indices must lie in [1, last_index) — the "
+                    "swap has no exposure at/after its final payment")
+        super().__init__(
+            model,
+            [SwapTrade(first_index, last_index, strike, payer, notional)],
+            num_paths=num_paths, num_factors=num_factors, seed=seed,
+            antithetic=antithetic, increments=increments,
+            observation_indices=observation_indices, quantiles=quantiles)
 
 
 class SwaptionExposureEngine:

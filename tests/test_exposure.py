@@ -116,6 +116,84 @@ class TestSwapExposure:
                                observation_indices=[6])  # >= last_index
 
 
+class TestNettingSet:
+    """Close-out netting: pathwise trade values sum BEFORE the positive
+    part; the standalone EE sum is collected in the same pass."""
+
+    @pytest.fixture(scope="class")
+    def engines(self, setup):
+        from finmath_tpu.models.lmm.exposure import (
+            NettingSetExposureEngine, SwapTrade)
+
+        trades = [
+            SwapTrade(2, 12, 0.005, payer=True, notional=2.0),
+            SwapTrade(4, 8, 0.012, payer=False, notional=1.0),
+        ]
+        eng = NettingSetExposureEngine(
+            setup.model, trades, num_paths=N_PATHS, num_factors=1, seed=11)
+        return eng, eng.profile(setup.covariance.initial_parameters)
+
+    def test_forward_value_martingale(self, engines):
+        eng, prof = engines
+        assert np.max(np.abs(prof.forward_value
+                             - eng.analytic_forward_values())) < 4e-3
+
+    def test_netting_benefit_nonnegative(self, engines):
+        _, prof = engines
+        assert np.all(prof.netting_benefit >= -1e-12)
+        # opposing directions MUST produce a strict benefit somewhere
+        assert np.max(prof.netting_benefit) > 0.0
+
+    def test_single_trade_set_has_zero_benefit(self, setup,
+                                               profile_and_engine):
+        """max over a single trade == the netted max: standalone == netted."""
+        prof, _ = profile_and_engine
+        assert np.allclose(prof.netting_benefit, 0.0, atol=1e-15)
+
+    def test_perfect_hedge_nets_to_zero(self, setup):
+        """A payer and its mirror receiver: netted value is identically 0
+        pathwise, while the standalone EE is strictly positive."""
+        from finmath_tpu.models.lmm.exposure import (
+            NettingSetExposureEngine, SwapTrade)
+
+        p0 = setup.covariance.initial_parameters
+        trades = [SwapTrade(2, 8, 0.01, payer=True),
+                  SwapTrade(2, 8, 0.01, payer=False)]
+        prof = NettingSetExposureEngine(
+            setup.model, trades, num_paths=N_PATHS, num_factors=1,
+            seed=3).profile(p0)
+        assert np.allclose(prof.ee, 0.0, atol=1e-12)
+        assert np.allclose(prof.ene, 0.0, atol=1e-12)
+        assert np.allclose(prof.pfe[0.99], 0.0, atol=1e-12)
+        assert np.all(prof.ee_standalone > 0.0)
+
+    def test_matured_trade_drops_out(self, setup):
+        """Past a trade's final payment, the netted profile equals the
+        surviving trade's standalone profile on the same paths."""
+        from finmath_tpu.models.lmm.exposure import (
+            NettingSetExposureEngine, SwapTrade)
+
+        p0 = setup.covariance.initial_parameters
+        long_tr = SwapTrade(1, 12, 0.008, payer=True)
+        short_tr = SwapTrade(1, 6, 0.002, payer=False)
+        netted = NettingSetExposureEngine(
+            setup.model, [long_tr, short_tr], num_paths=N_PATHS,
+            num_factors=1, seed=17).profile(p0)
+        alone = NettingSetExposureEngine(
+            setup.model, [long_tr], num_paths=N_PATHS, num_factors=1,
+            seed=17, observation_indices=range(1, 12)).profile(p0)
+        # observations 6..11 (ordinals 5..10): only long_tr is alive
+        assert np.allclose(netted.ee[5:], alone.ee[5:], atol=1e-12)
+        assert np.allclose(netted.pfe[0.95][5:], alone.pfe[0.95][5:],
+                           atol=1e-12)
+
+    def test_empty_set_raises(self, setup):
+        from finmath_tpu.models.lmm.exposure import NettingSetExposureEngine
+
+        with pytest.raises(ValueError):
+            NettingSetExposureEngine(setup.model, [])
+
+
 class TestSwaptionExposure:
     """Exposure of a product whose time-t value is a CONDITIONAL
     expectation (Longstaff-Schwartz regression on the par swap rate)."""
