@@ -250,9 +250,12 @@ def program_cache_size() -> int:
 def averages(*random_variables) -> list:
     """f64-accumulated means of many (lazy) RandomVariables with ONE
     device dispatch: every pending chain AND every reduction runs in a
-    single fused program; only the scalars cross back to the host. The
-    portfolio idiom — value N products, read N prices, pay one round
-    trip. Non-lazy variables fall back to their own ``get_average``."""
+    single fused program, the per-variable means are STACKED into one
+    [K] vector inside the program, and a single host transfer carries the
+    whole portfolio back (measured on the tunneled TPU: K separate scalar
+    reads pay K dispatch RTTs — ~8x30 ms for an 8-product portfolio — the
+    stacked read pays one). Non-lazy variables fall back to their own
+    ``get_average``."""
     pend = []
     for rv in random_variables:
         if isinstance(rv, RandomVariableTPULazy) and isinstance(
@@ -260,13 +263,17 @@ def averages(*random_variables) -> list:
             pend.append(node(_avg_reduce, rv._values))
         else:
             pend.append(None)
-    outs = _flush([n for n in pend if n is not None])
+    live = [n for n in pend if n is not None]
+    if len(live) > 1:
+        sums = np.asarray(_flush([node(_stack_scalars, *live)])[0])
+    elif live:
+        sums = np.asarray([float(_flush(live)[0])])
     result, i = [], 0
     for rv, n in zip(random_variables, pend):
         if n is None:
             result.append(rv.get_average())
         else:
-            result.append(float(outs[i]) / rv.size())
+            result.append(float(sums[i]) / rv.size())
             i += 1
     return result
 
@@ -291,6 +298,10 @@ def flush(*random_variables):
 
 def _avg_reduce(v):
     return jnp.sum(v.astype(ACC_DTYPE))
+
+
+def _stack_scalars(*vs):
+    return jnp.stack(vs)
 
 
 def _weighted_sum(v, p):
