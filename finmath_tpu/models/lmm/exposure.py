@@ -47,8 +47,33 @@ from .model import (
     LIBORMarketModelTPU,
     LMMValuationEngine,
     SwaptionProduct,
+    adjoint_dead_mask,
+    bond_ratio_cumprod,
     bond_ratio_cumprod_hi,
 )
+
+
+def _default_probability_vector(times: np.ndarray,
+                                hazard_rate: Optional[float],
+                                default_probabilities) -> np.ndarray:
+    """Per-interval default probabilities PD(t_{i-1}, t_i] on the
+    observation grid from a flat hazard OR an explicit strip."""
+    if (hazard_rate is None) == (default_probabilities is None):
+        raise ValueError(
+            "provide exactly one of hazard_rate / default_probabilities")
+    if hazard_rate is not None:
+        t = np.concatenate([[0.0], times])
+        surv = np.exp(-float(hazard_rate) * t)
+        return surv[:-1] - surv[1:]
+    pd = np.asarray(default_probabilities, dtype=np.float64)
+    if pd.shape != times.shape:
+        raise ValueError(
+            f"need one default probability per observation date "
+            f"({times.shape[0]}), got {pd.shape}")
+    if pd.min() < -1e-12 or pd.sum() > 1.0 + 1e-12:
+        raise ValueError(
+            "default probabilities must be a sub-probability vector")
+    return pd
 
 
 def cva_from_profile(profile: "ExposureProfile",
@@ -64,22 +89,8 @@ def cva_from_profile(profile: "ExposureProfile",
     Provide EITHER a flat ``hazard_rate`` (survival ``exp(-h t)``) OR
     explicit per-interval ``default_probabilities`` (one per observation
     date, summing to <= 1)."""
-    if (hazard_rate is None) == (default_probabilities is None):
-        raise ValueError(
-            "provide exactly one of hazard_rate / default_probabilities")
-    if hazard_rate is not None:
-        t = np.concatenate([[0.0], profile.times])
-        surv = np.exp(-float(hazard_rate) * t)
-        pd = surv[:-1] - surv[1:]
-    else:
-        pd = np.asarray(default_probabilities, dtype=np.float64)
-        if pd.shape != profile.times.shape:
-            raise ValueError(
-                f"need one default probability per observation date "
-                f"({profile.times.shape[0]}), got {pd.shape}")
-        if pd.min() < -1e-12 or pd.sum() > 1.0 + 1e-12:
-            raise ValueError("default probabilities must be a "
-                             "sub-probability vector")
+    pd = _default_probability_vector(profile.times, hazard_rate,
+                                     default_probabilities)
     return float((1.0 - float(recovery)) * np.sum(profile.ee * pd))
 
 
@@ -151,7 +162,7 @@ class NettingSetExposureEngine:
                  num_factors: int = 1, seed: int = 31415,
                  antithetic: bool = False, increments=None,
                  observation_indices: Optional[Sequence[int]] = None,
-                 quantiles: Sequence[float] = (0.95, 0.99)):
+                 quantiles: Sequence[float] = (0.95, 0.99), dtype=None):
         n = model.num_libors
         trades = list(trades)
         if not trades:
@@ -187,7 +198,7 @@ class NettingSetExposureEngine:
         self.engine = LMMValuationEngine(
             model, products, num_paths, num_factors, seed=seed,
             scan_mode="segmented", antithetic=antithetic,
-            increments=increments)
+            increments=increments, dtype=dtype)
 
         # static per-(event, trade) swap geometry: float-leg start bond,
         # fixed-leg pay mask, end bond, and a signed-notional coefficient
@@ -293,7 +304,12 @@ class NettingSetExposureEngine:
             fwd = jnp.mean(v_disc, axis=-1)
             ee_standalone = jnp.mean(s_plus * disc, axis=-1)
             pfe = jnp.quantile(v_t, qs, axis=-1)          # [Q, E], t-money
-            return ee, ene, fwd, pfe, ee_standalone
+            # ONE stacked output: each separate device->host array read
+            # pays a full dispatch RTT over the TPU tunnel (measured:
+            # 5 reads = 142 ms vs 54 ms compute) — pack the profile into
+            # a single [4 + Q, E] array and read it back once
+            return jnp.concatenate(
+                [jnp.stack([ee, ene, fwd, ee_standalone]), pfe], axis=0)
 
         if eng._inc_np is not None:
             inc = jnp.asarray(eng._inc_np)
@@ -303,17 +319,16 @@ class NettingSetExposureEngine:
     # ------------------------------------------------------------------
     def profile(self, params) -> ExposureProfile:
         """Full dated exposure profile at covariance parameters ``params``
-        — one device dispatch."""
+        — one device dispatch, one host transfer."""
         params = jnp.asarray(params, dtype=self.engine.dtype)
-        ee, ene, fwd, pfe, ee_sa = self._profile_fn(params)
-        pfe = np.asarray(pfe)
+        arr = np.asarray(self._profile_fn(params))        # [4 + Q, E]
         return ExposureProfile(
             times=self._obs_times.copy(),
-            ee=np.asarray(ee),
-            ene=np.asarray(ene),
-            forward_value=np.asarray(fwd),
-            pfe={q: pfe[i] for i, q in enumerate(self.quantiles)},
-            ee_standalone=np.asarray(ee_sa),
+            ee=arr[0],
+            ene=arr[1],
+            forward_value=arr[2],
+            pfe={q: arr[4 + i] for i, q in enumerate(self.quantiles)},
+            ee_standalone=arr[3],
         )
 
     # ------------------------------------------------------------------
@@ -356,6 +371,106 @@ class NettingSetExposureEngine:
         return cva_from_profile(self.profile(params), hazard_rate,
                                 recovery, default_probabilities)
 
+    # ------------------------------------------------------------------
+    def _build_cva_delta_core(self):
+        """CVA as a differentiable scalar of (params, initial forwards):
+        the adjoint-safe twin of the profile core — plain f32 bond-ratio
+        scan (the compensated scan's Dekker splits overflow earlier in
+        reverse mode and CVA deltas do not need 1e-6 price parity),
+        dead-path gating BEFORE every reciprocal (see
+        ``adjoint_dead_mask``), ``jax.checkpoint``-bounded memory through
+        the Euler sweep (``remat=True``)."""
+        eng = self.engine
+        model = self.model
+        n = model.num_libors
+        spot = model.measure == "spot"
+        deltas = jnp.asarray(model.deltas, dtype=ACC_DTYPE)
+        pay_mask = jnp.asarray(self._pay_mask_np, dtype=eng.dtype)
+        start_m1 = jnp.asarray(self._start_m1_np)
+        is_fwd = jnp.asarray(self._is_fwd_np)
+        coef = jnp.asarray(self._coef_np, dtype=ACC_DTYPE)
+        end_m1 = jnp.asarray(self._end_m1_np)
+        strikes = jnp.asarray(self._strikes_np, dtype=ACC_DTYPE)
+        j_iota = jnp.arange(n)[:, None]
+        df_obs = jnp.asarray(self._df_obs_np, dtype=ACC_DTYPE)
+
+        def core(params, fwd0, pd, inc):
+            def collect(e, ev, L, N):
+                deltas_col = deltas[:, None].astype(L.dtype)
+                dead = adjoint_dead_mask(L, N, deltas_col, spot)
+                L = jnp.where(dead[None, :], 0.01, L)
+                cp = bond_ratio_cumprod(L, deltas_col, e, j_iota)
+                if spot:
+                    Nv = jnp.where(dead, 1.0, N.astype(ACC_DTYPE))
+                    inv_n = 1.0 / Nv
+                else:
+                    cp_end = jnp.where(dead, 1.0,
+                                       cp[n - 1].astype(ACC_DTYPE))
+                    inv_n = 1.0 / cp_end
+                ann = jnp.matmul(pay_mask[ev], cp.astype(eng.dtype),
+                                 precision=jax.lax.Precision.HIGHEST)
+                p_start = jnp.where(is_fwd[ev][:, None],
+                                    jnp.take(cp, start_m1[ev], axis=0),
+                                    1.0)
+                p_end = jnp.take(cp, end_m1, axis=0)
+                v_net = jnp.sum(
+                    coef[ev][:, None] * (
+                        p_start.astype(ACC_DTYPE) - p_end.astype(ACC_DTYPE)
+                        - strikes[:, None] * ann.astype(ACC_DTYPE)),
+                    axis=0)
+                v_net = jnp.where(dead, 0.0, v_net)
+                inv_n = jnp.where(dead, 0.0, inv_n)
+                return v_net, inv_n
+
+            v_t, inv_n = eng._simulate_collect(params, collect, inc,
+                                               fwd0=fwd0, remat=True,
+                                               grad_safe=True)
+            finite = jnp.isfinite(v_t) & jnp.isfinite(inv_n)
+            v_t = jnp.where(finite, v_t, 0.0)
+            inv_n = jnp.where(finite, inv_n, 0.0)
+            if not spot:
+                # fwd0-differentiable P(0, T_n), not the host constant
+                inv_n = inv_n * jnp.prod(1.0 / (1.0 + deltas * fwd0))
+            mean_inv = jnp.mean(inv_n, axis=-1)
+            if model.use_numeraire_adjustment:
+                adj = jnp.where(mean_inv > 0.0, df_obs / mean_inv, 0.0)
+            else:
+                adj = jnp.ones_like(mean_inv)
+            v_disc = v_t * inv_n * adj[:, None]
+            ee = jnp.mean(jnp.maximum(v_disc, 0.0), axis=-1)
+            return jnp.sum(pd * ee)
+
+        return core
+
+    def cva_forward_deltas(self, params,
+                           hazard_rate: Optional[float] = None,
+                           recovery: float = 0.4,
+                           default_probabilities=None):
+        """CVA delta ladder: ``(cva, dCVA/dL0 [num_libors])`` — the
+        sensitivity of the credit valuation adjustment to every
+        forward-curve bucket from ONE reverse-mode pass through the full
+        simulation + exposure profile (curves/discounting held fixed,
+        the same bump semantics as ``LMMValuationEngine.forward_deltas``).
+        The XVA-desk ladder: finmath computes it by re-running the whole
+        exposure estimation per bumped curve node."""
+        pd = _default_probability_vector(self._obs_times, hazard_rate,
+                                         default_probabilities)
+        pd = (1.0 - float(recovery)) * pd
+        if getattr(self, "_cva_delta_fn", None) is None:
+            core = self._build_cva_delta_core()
+            if self.engine._inc_np is not None:
+                inc = jnp.asarray(self.engine._inc_np)
+                f = lambda p, f0, w: core(p, f0, w, inc)    # noqa: E731
+            else:
+                f = lambda p, f0, w: core(p, f0, w, None)   # noqa: E731
+            self._cva_delta_fn = jax.jit(
+                jax.value_and_grad(f, argnums=1))
+        v, g = self._cva_delta_fn(
+            jnp.asarray(params, dtype=jnp.float64),
+            jnp.asarray(self.model.initial_forwards, dtype=jnp.float64),
+            jnp.asarray(pd))
+        return float(v), np.asarray(g)
+
 
 class SwapExposureEngine(NettingSetExposureEngine):
     """Exposure profile of a single (possibly forward-starting) swap over
@@ -371,7 +486,7 @@ class SwapExposureEngine(NettingSetExposureEngine):
                  num_factors: int = 1, seed: int = 31415,
                  antithetic: bool = False, increments=None,
                  observation_indices: Optional[Sequence[int]] = None,
-                 quantiles: Sequence[float] = (0.95, 0.99)):
+                 quantiles: Sequence[float] = (0.95, 0.99), dtype=None):
         n = model.num_libors
         if not (1 <= first_index < last_index <= n):
             raise ValueError("invalid swap period range")
@@ -391,7 +506,8 @@ class SwapExposureEngine(NettingSetExposureEngine):
             [SwapTrade(first_index, last_index, strike, payer, notional)],
             num_paths=num_paths, num_factors=num_factors, seed=seed,
             antithetic=antithetic, increments=increments,
-            observation_indices=observation_indices, quantiles=quantiles)
+            observation_indices=observation_indices, quantiles=quantiles,
+            dtype=dtype)
 
 
 class SwaptionExposureEngine:
@@ -428,7 +544,7 @@ class SwaptionExposureEngine:
                  num_factors: int = 1, seed: int = 31415,
                  antithetic: bool = False, increments=None,
                  basis_degree: int = 2,
-                 quantiles: Sequence[float] = (0.95, 0.99)):
+                 quantiles: Sequence[float] = (0.95, 0.99), dtype=None):
         n = model.num_libors
         x, m = int(exercise_index), int(num_periods)
         if not (1 <= x and m >= 1 and x + m <= n):
@@ -456,7 +572,7 @@ class SwaptionExposureEngine:
         self.engine = LMMValuationEngine(
             model, products, num_paths, num_factors, seed=seed,
             scan_mode="segmented", antithetic=antithetic,
-            increments=increments)
+            increments=increments, dtype=dtype)
 
         # underlying-swap geometry per observation: remaining periods
         # [max(e, x), last) — identical to a forward-starting swap with
@@ -570,8 +686,12 @@ class SwaptionExposureEngine:
                 undisc = jnp.where(inv_n[ev] > 0.0,
                                    expo / (inv_n[ev] * adj[ev]), 0.0)
                 pfe.append(jnp.quantile(undisc, qs))
-            return (jnp.stack(ee), jnp.stack(ene), jnp.stack(fwd),
-                    jnp.stack(pfe, axis=-1))              # pfe [Q, E]
+            # one stacked [3 + Q, E] output = one host transfer (see the
+            # netting engine's core for the measured RTT rationale)
+            return jnp.concatenate(
+                [jnp.stack([jnp.stack(ee), jnp.stack(ene),
+                            jnp.stack(fwd)]),
+                 jnp.stack(pfe, axis=-1)], axis=0)
 
         if eng._inc_np is not None:
             inc = jnp.asarray(eng._inc_np)
@@ -581,16 +701,16 @@ class SwaptionExposureEngine:
     # ------------------------------------------------------------------
     def profile(self, params) -> ExposureProfile:
         """Full dated exposure profile — one device dispatch (simulation,
-        all regressions, reductions in a single jitted program)."""
+        all regressions, reductions in a single jitted program), one host
+        transfer."""
         params = jnp.asarray(params, dtype=self.engine.dtype)
-        ee, ene, fwd, pfe = self._profile_fn(params)
-        pfe = np.asarray(pfe)
+        arr = np.asarray(self._profile_fn(params))        # [3 + Q, E]
         return ExposureProfile(
             times=self._obs_times.copy(),
-            ee=np.asarray(ee),
-            ene=np.asarray(ene),
-            forward_value=np.asarray(fwd),
-            pfe={q: pfe[i] for i, q in enumerate(self.quantiles)},
+            ee=arr[0],
+            ene=arr[1],
+            forward_value=arr[2],
+            pfe={q: arr[3 + i] for i, q in enumerate(self.quantiles)},
         )
 
     # ------------------------------------------------------------------
