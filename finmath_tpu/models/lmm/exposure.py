@@ -48,7 +48,7 @@ from .model import (
     LMMValuationEngine,
     SwaptionProduct,
     adjoint_dead_mask,
-    bond_ratio_cumprod,
+    bond_ratio_cumprod_adjoint,
     bond_ratio_cumprod_hi,
 )
 
@@ -374,12 +374,13 @@ class NettingSetExposureEngine:
     # ------------------------------------------------------------------
     def _build_cva_delta_core(self):
         """CVA as a differentiable scalar of (params, initial forwards):
-        the adjoint-safe twin of the profile core — plain f32 bond-ratio
-        scan (the compensated scan's Dekker splits overflow earlier in
-        reverse mode and CVA deltas do not need 1e-6 price parity),
-        dead-path gating BEFORE every reciprocal (see
-        ``adjoint_dead_mask``), ``jax.checkpoint``-bounded memory through
-        the Euler sweep (``remat=True``)."""
+        the adjoint-safe twin of the profile core — log-form bond-ratio
+        scan (``bond_ratio_cumprod_adjoint``: CVA deltas do not need the
+        1e-6 price-parity compensation, and jnp.cumprod's VJP leaks
+        cross-bucket garbage on wild paths), dead-path gating BEFORE
+        every reciprocal (see ``adjoint_dead_mask``),
+        ``jax.checkpoint``-bounded memory through the Euler sweep
+        (``remat=True``)."""
         eng = self.engine
         model = self.model
         n = model.num_libors
@@ -399,7 +400,7 @@ class NettingSetExposureEngine:
                 deltas_col = deltas[:, None].astype(L.dtype)
                 dead = adjoint_dead_mask(L, N, deltas_col, spot)
                 L = jnp.where(dead[None, :], 0.01, L)
-                cp = bond_ratio_cumprod(L, deltas_col, e, j_iota)
+                cp = bond_ratio_cumprod_adjoint(L, deltas_col, e, j_iota)
                 if spot:
                     Nv = jnp.where(dead, 1.0, N.astype(ACC_DTYPE))
                     inv_n = 1.0 / Nv

@@ -160,6 +160,31 @@ def bond_ratio_cumprod(L, deltas_col, e, j_iota):
     return jnp.cumprod(r, axis=0)
 
 
+def bond_ratio_cumprod_adjoint(L, deltas_col, e, j_iota):
+    """``bond_ratio_cumprod`` for REVERSE-MODE consumers: identical
+    values up to a few ULPs, built as ``exp(cumsum(log r))`` so the
+    cotangent of row j reaches only input rows <= j.
+
+    Why it exists (measured on the TPU backend, 2026-08-18):
+    ``jnp.cumprod``'s VJP computes prefix/suffix RATIOS across the whole
+    axis, and one wild-but-finite Monte-Carlo path (pole-floored accrual
+    factor r ~ 1e6 in rows AFTER every priced bond) leaks O(1e5)
+    cotangent garbage into buckets the value does not depend on:
+    d sum(cp[11]) / d fwd0[72] measured 6.9e5 by reverse-mode cumprod,
+    exactly 0 by forward-mode jvp AND by finite differences — and the
+    cross-terms also polluted LIVE buckets by ~0.02%. Appears above
+    ~50k paths (needs one wild path in the ensemble); CPU is clean; the
+    log form is exactly 0 on the same ensemble (BENCHMARKS.md, CVA
+    ladder section). Forward values only ever go through the plain or
+    compensated scans — this variant is for gradient cores.
+
+    Requires dead-masked inputs: every live accrual factor must be
+    positive (guaranteed after the ``adjoint_dead_mask`` substitution,
+    whose criterion includes ``1 + delta L <= 1e-6``)."""
+    r = jnp.where(j_iota >= e, 1.0 / (1.0 + deltas_col * L), 1.0)
+    return jnp.exp(jnp.cumsum(jnp.log(jnp.maximum(r, 1e-30)), axis=0))
+
+
 def _two_prod_err(a, b, x):
     """Exact rounding error of ``x = a * b`` in the working precision
     (Dekker/Veltkamp splitting; needs round-to-nearest and no overflow —
@@ -216,6 +241,38 @@ def bond_ratio_cumprod_hi(L, deltas_col, e, j_iota, hi_dtype):
     x = S * cp
     rho = (1.0 - x) - _two_prod_err(S, cp, x)
     return cp.astype(hi_dtype) * (1.0 + (rho - C).astype(hi_dtype))
+
+
+def adjoint_dead_mask(L, N, deltas_col, spot):
+    """Paths whose bond-ratio scan would NaN a reverse-mode adjoint.
+
+    A path is adjoint-dead when its accrual factors hit the pole/negative
+    territory OR any CONTIGUOUS block product of the bond-ratio scan
+    would leave f32 range. Overflow does not require any single L near
+    the +-1e3 clamp (80 factors of moderately-insane rates suffice), and
+    the NET log-sum is not enough either: offsetting small factors can
+    hide an overflowing prefix. Exact criterion on the running log-sum:
+    every scan tree node is a contiguous block [i..j] with log-product =
+    logcum[j] - logcum[i-1] <= max ascent, and the final reciprocal
+    needs logcum[k] > -85 everywhere. Under the spot measure the account
+    N crosses zero / goes negative on pole paths (an accrual factor
+    1 + delta L < 0 flips its sign) possibly long before the event, with
+    a perfectly sane event-time L — the reciprocal's -1/N^2 = inf
+    partial then NaNs the adjoint even under a zero cotangent, so N is
+    range-checked too. NaN-safe: ``~(x < t)`` is True for NaN bounds (a
+    NaN L would make the comparison silently False the other way).
+    Shared by the valuation delta ladders and the CVA exposure ladder."""
+    sfac = 1.0 + deltas_col * L
+    logs = jnp.log(jnp.maximum(jnp.abs(sfac), 1e-30))
+    logcum = jnp.cumsum(logs, axis=0)
+    runmin = jax.lax.cummin(jnp.minimum(logcum, 0.0), axis=0)
+    ascent = jnp.max(logcum - runmin, axis=0)
+    bad = jnp.any(~jnp.isfinite(L) | (jnp.abs(L) >= 999.0)
+                  | (sfac <= 1e-6), axis=0)
+    if spot:
+        bad = bad | ~(N > 1e-12) | ~(N < 1e30)
+    return (bad | ~(ascent < 85.0)
+            | ~(jnp.min(logcum, axis=0) > -85.0))              # [paths]
 
 
 @dataclass(frozen=True)
@@ -956,41 +1013,14 @@ class LMMValuationEngine:
         dead = None
         if grad_safe:
             deltas_col = consts["deltas"][:, None].astype(L.dtype)
-            sfac = 1.0 + deltas_col * L
-            # a path is adjoint-dead when its accrual factors hit the
-            # pole/negative territory OR any CONTIGUOUS block product of
-            # the bond-ratio scan would leave f32 range. Overflow does
-            # not require any single L near the +-1e3 clamp (80 factors
-            # of moderately-insane rates suffice), and the NET log-sum is
-            # not enough either: offsetting small factors can hide an
-            # overflowing prefix. Exact criterion on the running log-sum:
-            # every scan tree node is a contiguous block [i..j] with
-            # log-product = logcum[j] - logcum[i-1] <= max ascent, and
-            # the final reciprocal needs logcum[k] > -85 everywhere.
-            logs = jnp.log(jnp.maximum(jnp.abs(sfac), 1e-30))
-            logcum = jnp.cumsum(logs, axis=0)
-            runmin = jax.lax.cummin(jnp.minimum(logcum, 0.0), axis=0)
-            ascent = jnp.max(logcum - runmin, axis=0)
-            bad = jnp.any(~jnp.isfinite(L) | (jnp.abs(L) >= 999.0)
-                          | (sfac <= 1e-6), axis=0)
-            if spot:
-                # the spot account crosses zero / goes negative on pole
-                # paths (an accrual factor 1 + delta L < 0 flips its sign)
-                # possibly long before this event, with a perfectly sane
-                # event-time L — the reciprocal's -1/N^2 = inf partial
-                # then NaNs the adjoint even under a zero cotangent
-                bad = bad | ~(N > 1e-12) | ~(N < 1e30)
-            # NaN-safe: ~(x < t) is True for NaN bounds (a NaN L would
-            # make the comparison silently False the other way)
-            dead = (bad | ~(ascent < 85.0)
-                    | ~(jnp.min(logcum, axis=0) > -85.0))      # [paths]
+            dead = adjoint_dead_mask(L, N, deltas_col, spot)   # [paths]
             L = jnp.where(dead[None, :], 0.01, L)
-            # plain f32 scan for the adjoint: risk ladders do not need
-            # the 1e-6 price-parity compensation (its Dekker splits also
-            # overflow earlier, at |block| > 8e34), and the plain scan's
-            # VJP is half the work
-            cp = bond_ratio_cumprod(L, deltas_col, e,
-                                    consts["j_iota"]).astype(cdtype)
+            # log-form scan for the adjoint: risk ladders do not need
+            # the 1e-6 price-parity compensation, and jnp.cumprod's VJP
+            # leaks cross-bucket garbage on wild paths (see
+            # bond_ratio_cumprod_adjoint)
+            cp = bond_ratio_cumprod_adjoint(L, deltas_col, e,
+                                            consts["j_iota"]).astype(cdtype)
         else:
             cp = bond_ratio_cumprod_hi(
                 L, consts["deltas"][:, None].astype(L.dtype),

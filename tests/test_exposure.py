@@ -293,6 +293,72 @@ class TestSwaptionExposure:
             SwaptionExposureEngine(setup.model, 4, 4, 0.01, basis_degree=0)
 
 
+class TestCVADeltas:
+    """CVA forward-delta ladder: one reverse-mode pass through
+    simulation + exposure (the XVA-desk sensitivity)."""
+
+    @pytest.fixture(scope="class")
+    def f64_engine(self, setup):
+        import numpy as np
+
+        return SwapExposureEngine(
+            setup.model, first_index=2, last_index=10, strike=0.005,
+            num_paths=2000, num_factors=1, seed=21, dtype=np.float64)
+
+    def test_ad_matches_finite_differences(self, setup, f64_engine):
+        """Reverse-mode dCVA/dL0 == central FD of the SAME f64 core."""
+        import jax.numpy as jnp
+
+        from finmath_tpu.models.lmm.exposure import (
+            _default_probability_vector)
+
+        eng = f64_engine
+        p0 = setup.covariance.initial_parameters
+        cva, grad = eng.cva_forward_deltas(p0, hazard_rate=0.01)
+        assert np.all(np.isfinite(grad))
+        pd = 0.6 * _default_probability_vector(eng._obs_times, 0.01, None)
+        fwd0 = np.asarray(setup.model.initial_forwards, dtype=np.float64)
+        p64 = jnp.asarray(p0, dtype=jnp.float64)
+        h = 1e-7
+        for b in (2, 5, 8):
+            fp = fwd0.copy(); fp[b] += h
+            fm = fwd0.copy(); fm[b] -= h
+            vp = float(eng._cva_delta_fn(p64, jnp.asarray(fp),
+                                         jnp.asarray(pd))[0])
+            vm = float(eng._cva_delta_fn(p64, jnp.asarray(fm),
+                                         jnp.asarray(pd))[0])
+            fd = (vp - vm) / (2 * h)
+            assert grad[b] == pytest.approx(fd, rel=1e-5, abs=1e-10)
+
+    def test_value_matches_cva(self, setup, f64_engine):
+        """The delta core's primal equals the profile-route CVA (same f64
+        arithmetic up to the plain-vs-compensated cumprod)."""
+        p0 = setup.covariance.initial_parameters
+        cva, _ = f64_engine.cva_forward_deltas(p0, hazard_rate=0.01)
+        assert cva == pytest.approx(
+            f64_engine.cva(p0, hazard_rate=0.01), rel=1e-9)
+
+    def test_dead_buckets_have_zero_delta(self, setup, f64_engine):
+        """Forwards beyond the swap's last payment never enter payoffs or
+        the (spot) numeraire on the observation window."""
+        p0 = setup.covariance.initial_parameters
+        _, grad = f64_engine.cva_forward_deltas(p0, hazard_rate=0.01)
+        assert np.allclose(grad[f64_engine.last_index:], 0.0, atol=1e-14)
+        # and the live buckets do carry risk
+        assert np.max(np.abs(grad[:f64_engine.last_index])) > 0.0
+
+    def test_f32_production_path_finite(self, setup):
+        """The f32 engine's ladder is finite and close to the f64 one."""
+        eng32 = SwapExposureEngine(
+            setup.model, first_index=2, last_index=10, strike=0.005,
+            num_paths=2000, num_factors=1, seed=21)
+        p0 = setup.covariance.initial_parameters
+        cva32, g32 = eng32.cva_forward_deltas(p0, hazard_rate=0.01)
+        assert np.all(np.isfinite(g32))
+        assert cva32 == pytest.approx(
+            eng32.cva(p0, hazard_rate=0.01), rel=1e-3, abs=1e-9)
+
+
 class TestCVA:
     def test_cva_zero_hazard_zero(self, setup, profile_and_engine):
         _, eng = profile_and_engine
