@@ -765,6 +765,35 @@ def bench_exposure():
             "martingale_max_abs_err": n_mart,
             "martingale_pass": bool(n_mart < 2e-3),
         },
+        "cva_delta_ladder": bench_cva_deltas(eng, p0),
+    }
+
+
+def bench_cva_deltas(eng, p0):
+    """dCVA/dL0 for every forward-curve bucket in ONE reverse-mode pass
+    through simulation + exposure (adjoint-safe log-form bond scan; the
+    finding that motivated it is documented in BENCHMARKS.md). The
+    matured-bucket gradients double as an on-chip adjoint-integrity
+    gate: they are mathematically zero, so any cross-bucket VJP leak
+    (the failure mode fixed in round 3) trips ``tail_exact_zero``."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    cva, grad = eng.cva_forward_deltas(p0, hazard_rate=0.012)
+    compile_s = time.perf_counter() - t0
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        cva, grad = eng.cva_forward_deltas(p0, hazard_rate=0.012)
+        ts.append(time.perf_counter() - t0)
+    tail = np.abs(grad[eng.trades[0].last_index:])
+    return {
+        "buckets": int(grad.shape[0]),
+        "wall_ms": round(float(min(ts)) * 1000, 3),
+        "compile_s": round(compile_s, 3),
+        "cva_120bp": float(cva),
+        "finite": bool(np.all(np.isfinite(grad))),
+        "tail_exact_zero": bool(float(tail.max(initial=0.0)) == 0.0),
     }
 
 

@@ -22,7 +22,10 @@ from .exposure import (
     SwapExposureEngine,
     SwapTrade,
     SwaptionExposureEngine,
+    SwaptionTrade,
+    bilateral_cva_from_profile,
     cva_from_profile,
+    dva_from_profile,
 )
 from .eager import eager_swaption_valuation
 
@@ -50,6 +53,9 @@ __all__ = [
     "SwapExposureEngine",
     "SwapTrade",
     "SwaptionExposureEngine",
+    "SwaptionTrade",
+    "bilateral_cva_from_profile",
     "cva_from_profile",
+    "dva_from_profile",
     "eager_swaption_valuation",
 ]

@@ -94,6 +94,33 @@ def cva_from_profile(profile: "ExposureProfile",
     return float((1.0 - float(recovery)) * np.sum(profile.ee * pd))
 
 
+def dva_from_profile(profile: "ExposureProfile",
+                     own_hazard_rate: Optional[float] = None,
+                     own_recovery: float = 0.4,
+                     own_default_probabilities: Optional[Sequence[float]]
+                     = None) -> float:
+    """Debit valuation adjustment — the mirror integral on the NEGATIVE
+    exposure profile (our own default extinguishes our liability):
+    ``(1 - R_own) * sum_i (-ENE(t_i)) * PD_own(t_{i-1}, t_i]``. Positive
+    by convention (a benefit to us); bilateral CVA = CVA - DVA."""
+    pd = _default_probability_vector(profile.times, own_hazard_rate,
+                                     own_default_probabilities)
+    return float((1.0 - float(own_recovery)) * np.sum(-profile.ene * pd))
+
+
+def bilateral_cva_from_profile(profile: "ExposureProfile",
+                               counterparty_hazard_rate: float,
+                               own_hazard_rate: float,
+                               counterparty_recovery: float = 0.4,
+                               own_recovery: float = 0.4) -> float:
+    """Bilateral credit adjustment CVA - DVA on one profile (flat
+    hazards; the standard no-first-to-default simplification — survival
+    cross-terms are second order at these hazard levels)."""
+    return (cva_from_profile(profile, counterparty_hazard_rate,
+                             counterparty_recovery)
+            - dva_from_profile(profile, own_hazard_rate, own_recovery))
+
+
 @dataclass(frozen=True)
 class ExposureProfile:
     """Dated exposure profile (numpy, host-side).
@@ -143,18 +170,47 @@ class SwapTrade:
     notional: float = 1.0
 
 
+@dataclass(frozen=True)
+class SwaptionTrade:
+    """A European payer swaption inside a netting set: expiry at tenor
+    index ``exercise_index`` into the swap over the following
+    ``num_periods`` periods. ``notional`` > 0 = long (an asset before
+    expiry), < 0 = short (a liability). Before expiry its close-out
+    value is the Longstaff-Schwartz conditional expectation (regression
+    on the underlying par rate, degree ``basis_degree``); after a
+    ``physical`` exercise the underlying swap lives on the exercised
+    paths."""
+
+    exercise_index: int
+    num_periods: int
+    strike: float
+    notional: float = 1.0
+    physical: bool = True
+    basis_degree: int = 2
+
+    @property
+    def last_index(self) -> int:
+        return self.exercise_index + self.num_periods
+
+
 class NettingSetExposureEngine:
-    """Exposure profile of a NETTING SET of (possibly forward-starting)
-    interest-rate swaps, observed at every tenor date: pathwise values of
-    all trades are summed BEFORE the positive part (ISDA close-out
-    netting), so EE reflects offsetting positions; the standalone
-    (no-netting) EE sum is collected in the same pass for the netting
-    benefit.
+    """Exposure profile of a NETTING SET of interest-rate trades —
+    (possibly forward-starting) swaps AND European swaptions — observed
+    at every tenor date: pathwise close-out values of all trades are
+    summed BEFORE the positive part (ISDA close-out netting), so EE
+    reflects offsetting positions; the standalone (no-netting) EE sum is
+    collected in the same pass for the netting benefit.
+
+    Swap values are curve-analytic in the simulated forwards; swaption
+    values before expiry are Longstaff-Schwartz conditional expectations
+    (regression on the underlying par rate) — the mixed-portfolio
+    close-out finmath-lib estimates product-by-product through its eager
+    ExposureEstimator.
 
     One jitted program computes the full profile: simulate once, collect
     every trade's V(t)/N(t) at every observation date (one
     [trades x libors] @ [libors x paths] annuity matmul on the MXU per
-    date), reduce.
+    date), run all regressions, reduce.
     """
 
     def __init__(self, model: LIBORMarketModelTPU,
@@ -167,9 +223,19 @@ class NettingSetExposureEngine:
         trades = list(trades)
         if not trades:
             raise ValueError("need at least one trade")
-        for tr in trades:
+        self.swaps = [t for t in trades if isinstance(t, SwapTrade)]
+        self.swaptions = [t for t in trades if isinstance(t, SwaptionTrade)]
+        if len(self.swaps) + len(self.swaptions) != len(trades):
+            raise ValueError("trades must be SwapTrade or SwaptionTrade")
+        for tr in self.swaps:
             if not (1 <= tr.first_index < tr.last_index <= n):
                 raise ValueError(f"invalid swap period range in {tr}")
+        for tr in self.swaptions:
+            if not (1 <= tr.exercise_index and tr.num_periods >= 1
+                    and tr.last_index <= n):
+                raise ValueError(f"swaption does not fit the grid: {tr}")
+            if tr.basis_degree < 1:
+                raise ValueError(f"basis_degree must be >= 1 in {tr}")
         self.model = model
         self.trades = trades
         self.quantiles = tuple(float(q) for q in quantiles)
@@ -181,6 +247,11 @@ class NettingSetExposureEngine:
             raise ValueError(
                 "observation indices must lie in [1, max(last_index)) — "
                 "the netting set has no exposure at/after its final payment")
+        for tr in self.swaptions:
+            if tr.exercise_index not in obs:
+                raise ValueError(
+                    f"swaption expiry index {tr.exercise_index} must be an "
+                    "observation date (its payoff is fixed there)")
         self.observation_indices = obs
 
         # event scaffolding: one placeholder product per observation date
@@ -202,33 +273,49 @@ class NettingSetExposureEngine:
 
         # static per-(event, trade) swap geometry: float-leg start bond,
         # fixed-leg pay mask, end bond, and a signed-notional coefficient
-        # that is zero once the trade's last payment has passed
-        E, T = len(obs), len(trades)
+        # that is zero once the trade's last payment has passed. The
+        # swaptions' UNDERLYING swaps get the same geometry with
+        # first_index = exercise_index (the remaining underlying at every
+        # observation), consumed by the regression/exercise logic in the
+        # profile core.
+        E = len(obs)
         deltas = model.deltas
-        pay_mask = np.zeros((E, T, n), dtype=np.float64)
-        start_m1 = np.zeros((E, T), dtype=np.int64)  # index of P(t, T_start)
-        is_fwd = np.zeros((E, T), dtype=bool)        # observation < start
-        coef = np.zeros((E, T), dtype=np.float64)    # sign * notional * alive
-        end_m1 = np.zeros(T, dtype=np.int64)
-        strikes = np.zeros(T, dtype=np.float64)
-        for t, tr in enumerate(trades):
-            end_m1[t] = tr.last_index - 1
-            strikes[t] = tr.strike
-            for ev, e in enumerate(obs):
-                if e >= tr.last_index:
-                    continue                         # trade matured: coef 0
-                start = max(e, tr.first_index)
-                pay_mask[ev, t, start:tr.last_index] = \
-                    deltas[start:tr.last_index]
-                start_m1[ev, t] = max(start - 1, 0)
-                is_fwd[ev, t] = start > e
-                coef[ev, t] = (1.0 if tr.payer else -1.0) * tr.notional
-        self._pay_mask_np = pay_mask
-        self._start_m1_np = start_m1
-        self._is_fwd_np = is_fwd
-        self._coef_np = coef
-        self._end_m1_np = end_m1
-        self._strikes_np = strikes
+
+        def swap_geometry(specs):
+            T = len(specs)
+            pay_mask = np.zeros((E, T, n), dtype=np.float64)
+            start_m1 = np.zeros((E, T), dtype=np.int64)
+            is_fwd = np.zeros((E, T), dtype=bool)
+            alive = np.zeros((E, T), dtype=np.float64)
+            end_m1 = np.zeros(T, dtype=np.int64)
+            strikes = np.zeros(T, dtype=np.float64)
+            for t, (first, last, strike) in enumerate(specs):
+                end_m1[t] = last - 1
+                strikes[t] = strike
+                for ev, e in enumerate(obs):
+                    if e >= last:
+                        continue                     # matured: stays 0
+                    start = max(e, first)
+                    pay_mask[ev, t, start:last] = deltas[start:last]
+                    start_m1[ev, t] = max(start - 1, 0)
+                    is_fwd[ev, t] = start > e
+                    alive[ev, t] = 1.0
+            return pay_mask, start_m1, is_fwd, alive, end_m1, strikes
+
+        (self._pay_mask_np, self._start_m1_np, self._is_fwd_np,
+         sw_alive, self._end_m1_np, self._strikes_np) = swap_geometry(
+            [(tr.first_index, tr.last_index, tr.strike)
+             for tr in self.swaps])
+        self._coef_np = sw_alive * np.asarray(
+            [(1.0 if tr.payer else -1.0) * tr.notional
+             for tr in self.swaps])[None, :]
+        (self._u_pay_mask_np, self._u_start_m1_np, self._u_is_fwd_np,
+         self._u_alive_np, self._u_end_m1_np, self._u_strikes_np) = \
+            swap_geometry([(tr.exercise_index, tr.last_index, tr.strike)
+                           for tr in self.swaptions])
+        self._ev_x_np = np.asarray(
+            [obs.index(tr.exercise_index) for tr in self.swaptions],
+            dtype=np.int64)
         dc = model.discount_curve
         self._df_obs_np = np.asarray(
             [float(dc.get_discount_factor(float(model.tenor_times[e])))
@@ -256,37 +343,72 @@ class NettingSetExposureEngine:
         qs = jnp.asarray(self.quantiles, dtype=ACC_DTYPE)
         df_obs = jnp.asarray(self._df_obs_np, dtype=ACC_DTYPE)
 
+        K = len(self.swaptions)
+        if K:
+            u_pay_mask = jnp.asarray(self._u_pay_mask_np, dtype=eng.dtype)
+            u_start_m1 = jnp.asarray(self._u_start_m1_np)
+            u_is_fwd = jnp.asarray(self._u_is_fwd_np)
+            u_alive = jnp.asarray(self._u_alive_np, dtype=ACC_DTYPE)
+            u_end_m1 = jnp.asarray(self._u_end_m1_np)
+            u_strikes = jnp.asarray(self._u_strikes_np, dtype=ACC_DTYPE)
+            ev_x = self._ev_x_np
+
+        def swap_values(ev, cp, masks, starts, fwds, ends, ks):
+            """[T, paths] remaining-swap values from the bond curve."""
+            ann = jnp.matmul(masks[ev], cp.astype(eng.dtype),
+                             precision=jax.lax.Precision.HIGHEST)
+            p_start = jnp.where(fwds[ev][:, None],
+                                jnp.take(cp, starts[ev], axis=0), 1.0)
+            p_end = jnp.take(cp, ends, axis=0)
+            return (p_start.astype(ACC_DTYPE) - p_end.astype(ACC_DTYPE)
+                    - ks[:, None] * ann.astype(ACC_DTYPE))
+
         def collect(e, ev, L, N):
-            """Pathwise (netted V(t)/units-of-t, standalone positive-part
-            sum, 1/N(t)) of the set's live trades at the observation with
-            ordinal ``ev`` (tenor index ``e``)."""
+            """Pathwise (netted swap V(t)/units-of-t, standalone swap
+            positive-part sum, swaption-underlying values, underlying par
+            rates, 1/N(t)) at the observation with ordinal ``ev`` (tenor
+            index ``e``). Swap annuities batch into ONE [T, n] @
+            [n, paths] MXU matmul in the simulation dtype (the engine's
+            measured precision split: the K-damped annuity tolerates
+            f32)."""
             deltas_col = deltas[:, None].astype(L.dtype)
             cp = bond_ratio_cumprod_hi(L, deltas_col, e, j_iota, cdtype)
             if spot:
                 inv_n = 1.0 / N.astype(ACC_DTYPE)
             else:
                 inv_n = 1.0 / cp[n - 1].astype(ACC_DTYPE)
-            # all trades' annuities in ONE [T, n] @ [n, paths] MXU matmul,
-            # in the simulation dtype (the engine's measured precision
-            # split: the K-damped annuity tolerates f32)
-            ann = jnp.matmul(pay_mask[ev], cp.astype(eng.dtype),
-                             precision=jax.lax.Precision.HIGHEST)  # [T, paths]
-            p_start = jnp.where(is_fwd[ev][:, None],
-                                jnp.take(cp, start_m1[ev], axis=0),
-                                1.0)                               # [T, paths]
-            p_end = jnp.take(cp, end_m1, axis=0)                   # [T, paths]
-            v_trade = coef[ev][:, None] * (
-                p_start.astype(ACC_DTYPE) - p_end.astype(ACC_DTYPE)
-                - strikes[:, None] * ann.astype(ACC_DTYPE))
+            v_trade = coef[ev][:, None] * swap_values(
+                ev, cp, pay_mask, start_m1, is_fwd, end_m1, strikes)
             v_net = jnp.sum(v_trade, axis=0)                       # [paths]
             s_plus = jnp.sum(jnp.maximum(v_trade, 0.0), axis=0)    # [paths]
-            return v_net, s_plus, inv_n
+            if not K:
+                return v_net, s_plus, inv_n
+            # swaption underlyings: remaining swap value + par rate (the
+            # regression feature), unit notional, alive-masked
+            raw_u = swap_values(ev, cp, u_pay_mask, u_start_m1,
+                                u_is_fwd, u_end_m1, u_strikes)
+            v_und = u_alive[ev][:, None] * raw_u                   # [K, paths]
+            ann_u = jnp.matmul(u_pay_mask[ev], cp.astype(eng.dtype),
+                               precision=jax.lax.Precision.HIGHEST)
+            float_u = v_und + u_strikes[:, None] * ann_u.astype(ACC_DTYPE) \
+                * u_alive[ev][:, None]
+            srate = float_u / jnp.maximum(ann_u.astype(ACC_DTYPE), 1e-12)
+            return v_net, s_plus, v_und, srate, inv_n
 
         def core(params, inc):
-            v_t, s_plus, inv_n = eng._simulate_collect(params, collect, inc)
-            # [E, paths] each (segmented mode: event-stacked)
+            collected = eng._simulate_collect(params, collect, inc)
+            if K:
+                v_t, s_plus, v_und, srate, inv_n = collected
+            else:
+                v_t, s_plus, inv_n = collected
+            # [E, ...] each (segmented mode: event-stacked)
             finite = (jnp.isfinite(v_t) & jnp.isfinite(inv_n)
                       & jnp.isfinite(s_plus))
+            if K:
+                finite = finite & jnp.all(
+                    jnp.isfinite(v_und) & jnp.isfinite(srate), axis=1)
+                v_und = jnp.where(finite[:, None, :], v_und, 0.0)
+                srate = jnp.where(finite[:, None, :], srate, 0.0)
             v_t = jnp.where(finite, v_t, 0.0)
             s_plus = jnp.where(finite, s_plus, 0.0)
             inv_n = jnp.where(finite, inv_n, 0.0)
@@ -299,11 +421,44 @@ class NettingSetExposureEngine:
                 adj = jnp.ones_like(mean_inv)
             disc = inv_n * adj[:, None]
             v_disc = v_t * disc                           # today's money
+            s_plus_disc = s_plus * disc
+            v_undisc = v_t                                # t-money (PFE)
+            E_n = len(self.observation_indices)
+            for k, tr in enumerate(self.swaptions):
+                # discounted close-out value of swaption k at each
+                # observation: LS-regressed conditional expectation
+                # before expiry, intrinsic at expiry, the exercised swap
+                # (physical) or nothing (cash) after
+                evx = int(ev_x[k])
+                h_disc = jnp.maximum(v_und[evx, k], 0.0) * disc[evx]
+                exercised = v_und[evx, k] > 0.0
+                rows = []
+                for ev in range(E_n):
+                    if ev < evx:
+                        basis = jnp.stack(
+                            [srate[ev, k].astype(eng.dtype) ** d
+                             for d in range(tr.basis_degree + 1)])
+                        pred = regression_predict(
+                            basis, regression_fit(basis, h_disc))
+                        rows.append(jnp.maximum(pred.astype(ACC_DTYPE),
+                                                0.0))
+                    elif ev == evx:
+                        rows.append(h_disc)
+                    elif tr.physical:
+                        rows.append(jnp.where(
+                            exercised, v_und[ev, k] * disc[ev], 0.0))
+                    else:
+                        rows.append(jnp.zeros_like(h_disc))
+                c_disc = tr.notional * jnp.stack(rows)    # [E, paths]
+                v_disc = v_disc + c_disc
+                s_plus_disc = s_plus_disc + jnp.maximum(c_disc, 0.0)
+                v_undisc = v_undisc + jnp.where(disc > 0.0,
+                                                c_disc / disc, 0.0)
             ee = jnp.mean(jnp.maximum(v_disc, 0.0), axis=-1)
             ene = jnp.mean(jnp.minimum(v_disc, 0.0), axis=-1)
             fwd = jnp.mean(v_disc, axis=-1)
-            ee_standalone = jnp.mean(s_plus * disc, axis=-1)
-            pfe = jnp.quantile(v_t, qs, axis=-1)          # [Q, E], t-money
+            ee_standalone = jnp.mean(s_plus_disc, axis=-1)
+            pfe = jnp.quantile(v_undisc, qs, axis=-1)     # [Q, E], t-money
             # ONE stacked output: each separate device->host array read
             # pays a full dispatch RTT over the TPU tunnel (measured:
             # 5 reads = 142 ms vs 54 ms compute) — pack the profile into
@@ -333,9 +488,13 @@ class NettingSetExposureEngine:
 
     # ------------------------------------------------------------------
     def analytic_forward_values(self) -> np.ndarray:
-        """t=0 curve value of the set's remaining periods at each
+        """t=0 curve value of the SWAP trades' remaining periods at each
         observation date — the analytic martingale benchmark for
-        ``ExposureProfile.forward_value``."""
+        ``ExposureProfile.forward_value``. Swaption trades are excluded
+        (no curve-analytic value; their martingale diagnostic is the
+        constancy of the regressed forward value up to expiry, asserted
+        by the tests), so for mixed sets compare against a swap-only
+        profile."""
         model = self.model
         dc = model.discount_curve
         fc = model.forward_curve
@@ -344,7 +503,7 @@ class NettingSetExposureEngine:
         out = []
         for e in self.observation_indices:
             v = 0.0
-            for tr in self.trades:
+            for tr in self.swaps:
                 if e >= tr.last_index:
                     continue
                 sign = 1.0 if tr.payer else -1.0
@@ -454,6 +613,11 @@ class NettingSetExposureEngine:
         the same bump semantics as ``LMMValuationEngine.forward_deltas``).
         The XVA-desk ladder: finmath computes it by re-running the whole
         exposure estimation per bumped curve node."""
+        if self.swaptions:
+            raise NotImplementedError(
+                "cva_forward_deltas currently covers swap-only netting "
+                "sets (the adjoint-safe delta core does not regress "
+                "swaption conditional values)")
         pd = _default_probability_vector(self._obs_times, hazard_rate,
                                          default_probabilities)
         pd = (1.0 - float(recovery)) * pd

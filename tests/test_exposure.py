@@ -194,6 +194,112 @@ class TestNettingSet:
             NettingSetExposureEngine(setup.model, [])
 
 
+class TestMixedNettingSet:
+    """Netting sets mixing curve-analytic swaps with LS-regressed
+    swaption close-out values."""
+
+    X, M = 8, 8
+
+    @pytest.fixture(scope="class")
+    def strike(self, setup):
+        from finmath_tpu.models.curves import par_swap_rate
+
+        m = setup.model
+        return float(par_swap_rate(m.forward_curve, m.discount_curve,
+                                   m.tenor_times[self.X:self.X + self.M + 1]))
+
+    def test_swaption_only_set_matches_dedicated_engine(self, setup,
+                                                        strike):
+        """A one-swaption netting set reproduces SwaptionExposureEngine
+        exactly (same seed, same regression, same paths)."""
+        from finmath_tpu.models.lmm.exposure import (
+            NettingSetExposureEngine, SwaptionExposureEngine, SwaptionTrade)
+
+        p0 = setup.covariance.initial_parameters
+        nset = NettingSetExposureEngine(
+            setup.model, [SwaptionTrade(self.X, self.M, strike)],
+            num_paths=N_PATHS, num_factors=1, seed=123).profile(p0)
+        alone = SwaptionExposureEngine(
+            setup.model, self.X, self.M, strike, physical=True,
+            num_paths=N_PATHS, num_factors=1, seed=123).profile(p0)
+        assert np.allclose(nset.ee, alone.ee, atol=1e-12)
+        assert np.allclose(nset.ene, alone.ene, atol=1e-12)
+        assert np.allclose(nset.pfe[0.95], alone.pfe[0.95], atol=1e-12)
+
+    def test_long_short_swaptions_net_to_zero(self, setup, strike):
+        from finmath_tpu.models.lmm.exposure import (
+            NettingSetExposureEngine, SwaptionTrade)
+
+        p0 = setup.covariance.initial_parameters
+        prof = NettingSetExposureEngine(
+            setup.model,
+            [SwaptionTrade(self.X, self.M, strike, notional=1.0),
+             SwaptionTrade(self.X, self.M, strike, notional=-1.0)],
+            num_paths=N_PATHS, num_factors=1, seed=9).profile(p0)
+        assert np.allclose(prof.ee, 0.0, atol=1e-12)
+        assert np.allclose(prof.ene, 0.0, atol=1e-12)
+        assert np.all(prof.ee_standalone > 0.0)
+
+    def test_mixed_set_forward_value_adds(self, setup, strike):
+        """Close-out values sum pathwise, so the (linear) forward value
+        of a mixed set equals the sum of the single-trade sets' forward
+        values on the same paths — while EE subadds (netting)."""
+        from finmath_tpu.models.lmm.exposure import (
+            NettingSetExposureEngine, SwapTrade, SwaptionTrade)
+
+        p0 = setup.covariance.initial_parameters
+        sw = SwapTrade(2, self.X + self.M, 0.006, payer=False)
+        opt = SwaptionTrade(self.X, self.M, strike)
+        kw = dict(num_paths=N_PATHS, num_factors=1, seed=31,
+                  observation_indices=range(1, self.X + self.M))
+        mixed = NettingSetExposureEngine(
+            setup.model, [sw, opt], **kw).profile(p0)
+        only_sw = NettingSetExposureEngine(
+            setup.model, [sw], **kw).profile(p0)
+        only_opt = NettingSetExposureEngine(
+            setup.model, [opt], **kw).profile(p0)
+        assert np.allclose(mixed.forward_value,
+                           only_sw.forward_value + only_opt.forward_value,
+                           atol=1e-10)
+        assert np.all(mixed.ee <= only_sw.ee + only_opt.ee + 1e-12)
+        assert np.max(mixed.netting_benefit) > 0.0
+
+    def test_cash_settled_swaption_trade_dies_at_expiry(self, setup,
+                                                        strike):
+        from finmath_tpu.models.lmm.exposure import (
+            NettingSetExposureEngine, SwaptionTrade)
+
+        p0 = setup.covariance.initial_parameters
+        prof = NettingSetExposureEngine(
+            setup.model,
+            [SwaptionTrade(self.X, self.M, strike, physical=False)],
+            num_paths=N_PATHS, num_factors=1, seed=9).profile(p0)
+        evx = self.X - 1  # observations start at tenor index 1
+        assert prof.ee[evx] > 0.0
+        assert np.allclose(prof.ee[evx + 1:], 0.0, atol=1e-15)
+
+    def test_cva_deltas_guarded_for_swaptions(self, setup, strike):
+        from finmath_tpu.models.lmm.exposure import (
+            NettingSetExposureEngine, SwaptionTrade)
+
+        eng = NettingSetExposureEngine(
+            setup.model, [SwaptionTrade(self.X, self.M, strike)],
+            num_paths=N_PATHS, num_factors=1)
+        with pytest.raises(NotImplementedError):
+            eng.cva_forward_deltas(setup.covariance.initial_parameters,
+                                   hazard_rate=0.01)
+
+    def test_swaption_expiry_must_be_observed(self, setup, strike):
+        from finmath_tpu.models.lmm.exposure import (
+            NettingSetExposureEngine, SwaptionTrade)
+
+        with pytest.raises(ValueError):
+            NettingSetExposureEngine(
+                setup.model, [SwaptionTrade(self.X, self.M, strike)],
+                num_paths=N_PATHS, num_factors=1,
+                observation_indices=[2, 4])  # missing the expiry index
+
+
 class TestSwaptionExposure:
     """Exposure of a product whose time-t value is a CONDITIONAL
     expectation (Longstaff-Schwartz regression on the par swap rate)."""
@@ -388,6 +494,39 @@ class TestCVA:
         c_explicit = eng.cva(p0, default_probabilities=pd)
         c_flat = eng.cva(p0, hazard_rate=0.01)
         assert c_explicit == pytest.approx(c_flat, rel=1e-12)
+
+    def test_dva_mirrors_cva_of_the_flipped_position(self, setup,
+                                                     profile_and_engine):
+        """DVA(payer profile) == CVA(receiver profile) at equal hazard —
+        the negative exposure of one side IS the positive of the other
+        (exact: same paths, mirrored sign)."""
+        from finmath_tpu.models.lmm.exposure import (cva_from_profile,
+                                                     dva_from_profile)
+
+        _, eng = profile_and_engine
+        p0 = setup.covariance.initial_parameters
+        payer_prof = eng.profile(p0)
+        recv = SwapExposureEngine(
+            setup.model, first_index=4, last_index=20, strike=0.02,
+            payer=False, num_paths=N_PATHS, num_factors=1, seed=777,
+            quantiles=(0.5, 0.95, 0.99))
+        recv_prof = recv.profile(p0)
+        dva = dva_from_profile(payer_prof, own_hazard_rate=0.01)
+        cva_mirror = cva_from_profile(recv_prof, hazard_rate=0.01)
+        assert dva == pytest.approx(cva_mirror, rel=1e-12)
+        assert dva >= 0.0
+
+    def test_bilateral_cva_decomposes(self, setup, profile_and_engine):
+        from finmath_tpu.models.lmm.exposure import (
+            bilateral_cva_from_profile, cva_from_profile, dva_from_profile)
+
+        _, eng = profile_and_engine
+        prof = eng.profile(setup.covariance.initial_parameters)
+        b = bilateral_cva_from_profile(prof, counterparty_hazard_rate=0.02,
+                                       own_hazard_rate=0.005)
+        assert b == pytest.approx(
+            cva_from_profile(prof, hazard_rate=0.02)
+            - dva_from_profile(prof, own_hazard_rate=0.005), rel=1e-12)
 
     def test_cva_argument_validation(self, setup, profile_and_engine):
         _, eng = profile_and_engine
