@@ -77,6 +77,37 @@ def main():
     print(f"  netted CVA @120bp  "
           f"{netting.cva(params, hazard_rate=0.012):12,.0f}")
 
+    # ---- CVA delta ladder: one reverse pass, all curve buckets ----------
+    cva, ladder = netting.cva_forward_deltas(params, hazard_rate=0.012)
+    hot = int(np.argmax(np.abs(ladder)))
+    print(f"  CVA delta ladder ({ladder.shape[0]} buckets, one reverse "
+          f"pass): hottest bucket T={model.tenor_times[hot]:.1f}y "
+          f"dCVA/dL0 = {ladder[hot]:,.0f}")
+
+    # ---- mixed netting set: swaps + swaptions share one close-out -------
+    from finmath_tpu.models.lmm.exposure import (SwaptionTrade,
+                                                 bilateral_cva_from_profile)
+
+    k10 = par_swap_rate(model.forward_curve, model.discount_curve,
+                        model.tenor_times[10:21])
+    mixed = NettingSetExposureEngine(
+        model,
+        trades=[
+            SwapTrade(4, 20, par, payer=True, notional=1_000_000.0),
+            SwaptionTrade(10, 10, float(k10), notional=600_000.0,
+                          physical=True),
+            SwaptionTrade(6, 6, 0.004, notional=-400_000.0,
+                          physical=False),
+        ],
+        num_paths=20_000, num_factors=1)
+    mprof = mixed.profile(params)
+    print("\nmixed netting set (swap + long physical swaption + short "
+          "cash swaption):")
+    print(f"  peak netted EE {np.max(mprof.ee):12,.0f}   "
+          f"peak benefit {np.max(mprof.netting_benefit):10,.0f}")
+    print(f"  bilateral CVA (cpty 200bp / own 80bp): "
+          f"{bilateral_cva_from_profile(mprof, 0.02, 0.008):10,.0f}")
+
     # ---- swaption exposure: conditional value by LS regression ----------
     from finmath_tpu.models.lmm.exposure import SwaptionExposureEngine
 
