@@ -354,14 +354,16 @@ class NettingSetExposureEngine:
             ev_x = self._ev_x_np
 
         def swap_values(ev, cp, masks, starts, fwds, ends, ks):
-            """[T, paths] remaining-swap values from the bond curve."""
+            """([T, paths] remaining-swap values, [T, paths] annuities)
+            from the bond curve."""
             ann = jnp.matmul(masks[ev], cp.astype(eng.dtype),
-                             precision=jax.lax.Precision.HIGHEST)
+                             precision=jax.lax.Precision.HIGHEST
+                             ).astype(ACC_DTYPE)
             p_start = jnp.where(fwds[ev][:, None],
                                 jnp.take(cp, starts[ev], axis=0), 1.0)
             p_end = jnp.take(cp, ends, axis=0)
             return (p_start.astype(ACC_DTYPE) - p_end.astype(ACC_DTYPE)
-                    - ks[:, None] * ann.astype(ACC_DTYPE))
+                    - ks[:, None] * ann), ann
 
         def collect(e, ev, L, N):
             """Pathwise (netted swap V(t)/units-of-t, standalone swap
@@ -377,22 +379,21 @@ class NettingSetExposureEngine:
                 inv_n = 1.0 / N.astype(ACC_DTYPE)
             else:
                 inv_n = 1.0 / cp[n - 1].astype(ACC_DTYPE)
-            v_trade = coef[ev][:, None] * swap_values(
+            raw, _ = swap_values(
                 ev, cp, pay_mask, start_m1, is_fwd, end_m1, strikes)
+            v_trade = coef[ev][:, None] * raw
             v_net = jnp.sum(v_trade, axis=0)                       # [paths]
             s_plus = jnp.sum(jnp.maximum(v_trade, 0.0), axis=0)    # [paths]
             if not K:
                 return v_net, s_plus, inv_n
             # swaption underlyings: remaining swap value + par rate (the
             # regression feature), unit notional, alive-masked
-            raw_u = swap_values(ev, cp, u_pay_mask, u_start_m1,
-                                u_is_fwd, u_end_m1, u_strikes)
+            raw_u, ann_u = swap_values(ev, cp, u_pay_mask, u_start_m1,
+                                       u_is_fwd, u_end_m1, u_strikes)
             v_und = u_alive[ev][:, None] * raw_u                   # [K, paths]
-            ann_u = jnp.matmul(u_pay_mask[ev], cp.astype(eng.dtype),
-                               precision=jax.lax.Precision.HIGHEST)
-            float_u = v_und + u_strikes[:, None] * ann_u.astype(ACC_DTYPE) \
+            float_u = v_und + u_strikes[:, None] * ann_u \
                 * u_alive[ev][:, None]
-            srate = float_u / jnp.maximum(ann_u.astype(ACC_DTYPE), 1e-12)
+            srate = float_u / jnp.maximum(ann_u, 1e-12)
             return v_net, s_plus, v_und, srate, inv_n
 
         def core(params, inc):
