@@ -30,6 +30,15 @@ Conventions (documented, test-asserted):
   ``[max(e, first), last)`` — the period fixing at the observation instant
   is still part of the exposure (collect happens at the step start,
   before that period's fixing is consumed by the accrual).
+* Swaption close-out values before expiry are Longstaff-Schwartz
+  conditional expectations regressed on the underlying par rate; with a
+  constant in the basis the regression preserves the mean exactly, so
+  the profile's ``forward_value`` stays a martingale diagnostic.
+* CVA/DVA integrate the discounted EE/ENE profiles against a hazard
+  curve (``cva_from_profile`` / ``dva_from_profile`` /
+  ``bilateral_cva_from_profile``); ``cva_forward_deltas`` differentiates
+  the whole pipeline in one reverse pass (see the cumprod-VJP note on
+  ``bond_ratio_cumprod_adjoint``).
 """
 
 from __future__ import annotations
