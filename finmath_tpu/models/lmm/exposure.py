@@ -158,6 +158,32 @@ class ExposureProfile:
         """Peak PFE over the profile at quantile ``q``."""
         return float(np.max(self.pfe[q]))
 
+    def epe(self, horizon: Optional[float] = None) -> float:
+        """Expected positive exposure: the time-weighted average of EE
+        over [0, horizon] (default: the last observation date) — left
+        Riemann sum on the observation grid, the regulatory EPE
+        definition (Basel counterparty credit risk)."""
+        t = np.concatenate([[0.0], self.times])
+        dt = np.diff(t)
+        h = float(horizon) if horizon is not None else float(self.times[-1])
+        if not 0.0 < h <= self.times[-1] + 1e-12:
+            raise ValueError(f"horizon must lie in (0, {self.times[-1]}]")
+        w = np.clip((h - t[:-1]) / np.where(dt > 0, dt, 1.0), 0.0, 1.0) * dt
+        return float(np.sum(self.ee * w) / h)
+
+    def effective_ee(self) -> np.ndarray:
+        """Effective EE: the running maximum of EE (non-decreasing, the
+        Basel roll-over assumption for maturing short-dated trades)."""
+        return np.maximum.accumulate(self.ee)
+
+    def effective_epe(self, horizon: Optional[float] = None) -> float:
+        """Effective EPE: time-weighted average of effective EE — the
+        exposure measure of the Basel internal model method (EAD =
+        alpha * effective EPE)."""
+        eff = ExposureProfile(self.times, self.effective_ee(), self.ene,
+                              self.forward_value, self.pfe)
+        return eff.epe(horizon)
+
     @property
     def netting_benefit(self) -> np.ndarray:
         """Per-date reduction of EE from netting (>= 0 pointwise)."""

@@ -418,6 +418,45 @@ class TestSwaptionExposure:
             SwaptionExposureEngine(setup.model, 4, 4, 0.01, basis_degree=0)
 
 
+class TestRegulatoryMeasures:
+    """EPE / effective EPE on a synthetic profile (pure numpy — the
+    Basel measures are deterministic functionals of the EE profile)."""
+
+    @pytest.fixture()
+    def prof(self):
+        from finmath_tpu.models.lmm.exposure import ExposureProfile
+
+        times = np.asarray([0.5, 1.0, 1.5, 2.0])
+        ee = np.asarray([2.0, 4.0, 1.0, 3.0])
+        z = np.zeros(4)
+        return ExposureProfile(times, ee, z, z, {0.95: ee})
+
+    def test_epe_is_the_time_weighted_average(self, prof):
+        # equal 0.5y buckets: EPE = mean(EE)
+        assert prof.epe() == pytest.approx(2.5)
+        # horizon inside the grid re-weights the last bucket
+        assert prof.epe(horizon=1.0) == pytest.approx(3.0)
+        # partial last bucket: [0,0.75] = 0.5*2.0 + 0.25*4.0 over 0.75
+        assert prof.epe(horizon=0.75) == pytest.approx(
+            (0.5 * 2.0 + 0.25 * 4.0) / 0.75)
+
+    def test_effective_ee_is_the_running_max(self, prof):
+        eff = prof.effective_ee()
+        assert np.array_equal(eff, [2.0, 4.0, 4.0, 4.0])
+        assert np.all(np.diff(eff) >= 0)
+        assert np.all(eff >= prof.ee)
+
+    def test_effective_epe_dominates_epe(self, prof):
+        assert prof.effective_epe() == pytest.approx(3.5)
+        assert prof.effective_epe() >= prof.epe()
+
+    def test_epe_horizon_validation(self, prof):
+        with pytest.raises(ValueError):
+            prof.epe(horizon=0.0)
+        with pytest.raises(ValueError):
+            prof.epe(horizon=99.0)
+
+
 class TestCVADeltas:
     """CVA forward-delta ladder: one reverse-mode pass through
     simulation + exposure (the XVA-desk sensitivity)."""
