@@ -365,6 +365,33 @@ def bench_eager_ops():
         ts.append(time.perf_counter() - t0)
     out["tpu_jit_fused"] = {"wall_ms": round(float(min(ts)) * 1000, 3),
                             "avg": avg}
+    # the eager break-even story (reference README.md:24-28: CPU/GPU
+    # break even ~5k paths over PCIe): through this WAN tunnel the
+    # lazy-eager wall is FLAT at the ~30 ms dispatch RTT while the CPU
+    # float oracle scales linearly with paths — same structure, larger
+    # fixed cost, crossover ~600k paths (with a locally-attached TPU the
+    # RTT is sub-ms and the crossover returns to the reference's regime)
+    sweep = {}
+    for paths in (500_000, 1_000_000, 4_000_000):
+        big = np.random.default_rng(1).uniform(
+            0.5, 2.0, paths).astype(np.float32)
+        row = {}
+        for name, cls in (("tpu_lazy", RandomVariableTPULazy),
+                          ("cpu_float", RandomVariableFloat)):
+            x = cls(0.0, big)
+            if name == "tpu_lazy":
+                x.cache()
+            chain(x)  # warm
+            ts2 = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                chain(x)
+                ts2.append(time.perf_counter() - t0)
+            row[name] = round(float(min(ts2)) * 1000, 3)
+        row["tpu_vs_cpu"] = round(row["cpu_float"] / row["tpu_lazy"], 2)
+        sweep[str(paths)] = row
+    out["break_even_sweep"] = sweep
+
     out["agree"] = bool(
         abs(out["tpu_eager"]["avg"] - out["cpu_float"]["avg"]) < 1e-5)
     out["note"] = ("this TPU is reached through a remote tunnel adding "
