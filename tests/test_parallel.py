@@ -151,3 +151,62 @@ class TestShardedStochVolBenchmark:
         J = sharded.engine.jacobian(p0)
         assert J.shape == (len(sharded.engine.products), 8)
         assert np.all(np.isfinite(J))
+
+
+class TestMeshedExposure:
+    """XVA under the mesh: exposure profiles + CVA delta ladders shard
+    the path axis (psum expectations, all_gather quantiles). With the
+    SAME injected increments (sharded over paths) the meshed and
+    single-device profiles must agree exactly up to f64 reduction
+    order."""
+
+    @pytest.fixture(scope="class")
+    def setups(self, mesh):
+        from finmath_tpu.models.lmm.atm_calibration import (
+            build_atm_calibration)
+        from finmath_tpu.models.lmm.exposure import SwapExposureEngine
+        from finmath_tpu.models.qmc import sobol_brownian_increments
+
+        paths = 4096
+        setup = build_atm_calibration(num_paths=paths, num_factors=1)
+        sim = setup.model.sim_times
+        inc = sobol_brownian_increments(sim[1:] - sim[:-1], 1, paths,
+                                        seed=11)
+        kw = dict(first_index=2, last_index=8, strike=0.005,
+                  num_paths=paths, num_factors=1, increments=inc)
+        meshed = SwapExposureEngine(setup.model, mesh=mesh, **kw)
+        single = SwapExposureEngine(setup.model, **kw)
+        return setup, meshed, single
+
+    def test_profile_matches_single_device(self, setups):
+        setup, meshed, single = setups
+        p0 = setup.covariance.initial_parameters
+        pm = meshed.profile(p0)
+        ps = single.profile(p0)
+        assert np.allclose(pm.ee, ps.ee, atol=1e-12)
+        assert np.allclose(pm.ene, ps.ene, atol=1e-12)
+        assert np.allclose(pm.forward_value, ps.forward_value, atol=1e-12)
+        # quantiles see the SAME gathered ensemble (order-insensitive)
+        assert np.allclose(pm.pfe[0.99], ps.pfe[0.99], atol=1e-12)
+
+    def test_cva_deltas_match_single_device(self, setups):
+        setup, meshed, single = setups
+        p0 = setup.covariance.initial_parameters
+        cm, gm = meshed.cva_forward_deltas(p0, hazard_rate=0.01)
+        cs, gs = single.cva_forward_deltas(p0, hazard_rate=0.01)
+        assert cm == pytest.approx(cs, rel=1e-10)
+        # f64 reduction order differs (local sums + pmean vs one global
+        # sum), amplified through the adjoint on near-zero entries
+        assert np.allclose(gm, gs, rtol=1e-6, atol=1e-10)
+
+    def test_swaptions_under_mesh_guarded(self, mesh):
+        from finmath_tpu.models.lmm.atm_calibration import (
+            build_atm_calibration)
+        from finmath_tpu.models.lmm.exposure import (
+            NettingSetExposureEngine, SwaptionTrade)
+
+        setup = build_atm_calibration(num_paths=1024, num_factors=1)
+        with pytest.raises(NotImplementedError):
+            NettingSetExposureEngine(
+                setup.model, [SwaptionTrade(4, 4, 0.01)],
+                num_paths=1024, num_factors=1, mesh=mesh)
