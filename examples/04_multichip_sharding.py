@@ -32,6 +32,11 @@ if "JAX_PLATFORMS" not in os.environ:
 else:
     import jax
 
+    if os.environ["JAX_PLATFORMS"] == "cpu":
+        # the axon TPU plugin can win auto-selection even over an
+        # explicit env cpu; honor the user's choice through the config
+        jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 from jax.sharding import Mesh
 
@@ -58,10 +63,24 @@ def main():
 
     # gradients through the psum collective (under jit, like a real
     # calibration step — see __graft_entry__.dryrun_multichip)
-    fn = sharded._shard(sharded._build_residual_fn())
+    fn = sharded._residual_fn  # the jitted, shard_mapped residual program
     g = jax.jit(jax.grad(lambda p: jnp.sum(fn(p) ** 2)))(jnp.asarray(p0))
     assert np.all(np.isfinite(np.asarray(g)))
     print(f"loss gradient through the collective: {len(np.asarray(g))} params, finite")
+
+    # XVA under the same mesh: the exposure collector's expectations
+    # psum over ICI and the PFE quantiles all_gather the netted values
+    from finmath_tpu.models.lmm.exposure import SwapExposureEngine
+
+    expo = SwapExposureEngine(setup.model, first_index=2, last_index=10,
+                              strike=0.004, num_paths=1600, num_factors=1,
+                              mesh=mesh)
+    prof = expo.profile(p0)
+    cva, ladder = expo.cva_forward_deltas(p0, hazard_rate=0.012)
+    print(f"sharded exposure profile: {len(prof.times)} dates, peak EE "
+          f"{prof.ee.max():.2e}, PFE99 {prof.max_pfe(0.99):.2e}")
+    print(f"sharded CVA {cva:.3e} + {ladder.shape[0]}-bucket delta ladder "
+          f"through the collective")
 
 
 if __name__ == "__main__":

@@ -517,13 +517,14 @@ class NettingSetExposureEngine:
             if eng.mesh is not None:
                 # quantiles need the whole ensemble: gather the per-date
                 # netted values (E x paths scalars) over ICI — every
-                # device then sorts the identical array; the closing pmax
-                # is a numerical no-op that marks the result replicated
-                # for shard_map's out_specs check
+                # device then sorts the identical array; the closing
+                # pmean is a numerical no-op that marks the result
+                # replicated for shard_map's out_specs check (pmean, not
+                # pmax: some backends lower only sum all-reduces)
                 gathered = jax.lax.all_gather(v_undisc, eng.path_axis,
                                               axis=-1, tiled=True)
-                pfe = jax.lax.pmax(jnp.quantile(gathered, qs, axis=-1),
-                                   eng.path_axis)
+                pfe = jax.lax.pmean(jnp.quantile(gathered, qs, axis=-1),
+                                    eng.path_axis)
             else:
                 pfe = jnp.quantile(v_undisc, qs, axis=-1)  # [Q, E], t-money
             # ONE stacked output: each separate device->host array read
