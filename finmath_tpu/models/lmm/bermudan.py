@@ -138,8 +138,34 @@ class BermudanSwaptionPricer:
         for (swap_value, ann, p_end, N, p_n) in collected:
             inv_n = 1.0 / N if spot else 1.0 / p_n
             z = swap_value * inv_n                # discounted swap value
+            # a wild f32 path (accrual factor near the -1/delta pole or
+            # past the +-1e3 clamp) turns the bond-curve arithmetic into
+            # inf - inf: drop that path's exercise value and features —
+            # the same convention as the valuation collector's finite
+            # mask (one NaN path would otherwise poison the LS
+            # regression, the policy value AND the Haugh-Kogan dual —
+            # observed as a NaN upper bound at 8,192 paths)
+            finite = (jnp.isfinite(z) & jnp.isfinite(swap_value)
+                      & jnp.isfinite(ann) & jnp.isfinite(p_end)
+                      # a finite-but-astronomical bond curve (near-pole
+                      # accrual ratio ~1e30) is equally degenerate: its
+                      # cubed regression feature overflows f32 and the
+                      # huge |z| would dominate policy and dual alike;
+                      # unit-notional swap values beyond +-1e4 carry no
+                      # price information
+                      & (jnp.abs(z) < 1e4) & (jnp.abs(swap_value) < 1e4)
+                      & (jnp.abs(ann) < 1e4) & (jnp.abs(p_end) < 1e4))
+            z = jnp.where(finite, z, 0.0)
+            swap_value = jnp.where(finite, swap_value, 0.0)
             h = jnp.maximum(z, 0.0)               # discounted payoff
-            feats = [jnp.ones_like(swap_value), ann, p_end]
+            # basis {1, annuity, swap, swap^2, ...}: p_end is EXCLUDED
+            # because swap = 1 - p_end - K*ann makes {1, ann, p_end,
+            # swap} exactly collinear — the gram matrix was singular by
+            # construction (cond ~1e16; the TPU's emulated-f64 Cholesky
+            # NaNs where CPU f64 limped through), and p_end adds nothing
+            # to the prediction span that {1, ann, swap} does not
+            feats = [jnp.where(finite, 1.0, 0.0),
+                     jnp.where(finite, ann, 0.0)]
             p = swap_value
             for _ in range(degree):
                 feats.append(p)
