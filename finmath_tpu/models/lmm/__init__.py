@@ -17,7 +17,9 @@ from .analytic_approximation import LMMAnalyticSwaptionEngine
 from .bermudan import BermudanSwaption, BermudanSwaptionPricer
 from .products import CapFloor
 from .exposure import (
+    CSA,
     ExposureProfile,
+    IMProfile,
     NettingSetExposureEngine,
     SwapExposureEngine,
     SwapTrade,
@@ -26,6 +28,8 @@ from .exposure import (
     bilateral_cva_from_profile,
     cva_from_profile,
     dva_from_profile,
+    fva_from_profile,
+    mva_from_im_profile,
 )
 from .eager import eager_swaption_valuation
 
@@ -48,7 +52,9 @@ __all__ = [
     "BermudanSwaption",
     "BermudanSwaptionPricer",
     "CapFloor",
+    "CSA",
     "ExposureProfile",
+    "IMProfile",
     "NettingSetExposureEngine",
     "SwapExposureEngine",
     "SwapTrade",
@@ -57,5 +63,7 @@ __all__ = [
     "bilateral_cva_from_profile",
     "cva_from_profile",
     "dva_from_profile",
+    "fva_from_profile",
+    "mva_from_im_profile",
     "eager_swaption_valuation",
 ]

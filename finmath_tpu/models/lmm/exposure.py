@@ -39,11 +39,35 @@ Conventions (documented, test-asserted):
   ``bilateral_cva_from_profile``); ``cva_forward_deltas`` differentiates
   the whole pipeline in one reverse pass (see the cumprod-VJP note on
   ``bond_ratio_cumprod_adjoint``).
+* Collateral (``CSA``): the margin balance is computed PATHWISE inside
+  the same jitted profile program — lagged variation-margin requirement
+  (margin period of risk = ``margin_lag`` observation intervals),
+  two-way thresholds, minimum transfer amount as a lax.scan over the
+  observation grid, independent amount — and EE/ENE/PFE switch to the
+  residual exposure ``V(t) - C(t)`` while the uncollateralized profile
+  is kept in the same pass (``ee_gross``/``ene_gross``). Collateral is
+  compared in time-t money, i.e. the cash balance is assumed to accrue
+  at the numeraire rate between margin dates (the standard
+  OIS-remuneration assumption).
+* Funding (``fva_from_profile``): FCA - FBA on the discounted EE/ENE
+  profiles with survival weighting — fund the uncollateralized (or
+  residual) positive exposure at the borrow spread, benefit on the
+  negative exposure at the lend spread.
+* Initial margin (``NettingSetExposureEngine.im_profile`` +
+  ``mva_from_im_profile``): dynamic IM by regression — the conditional
+  variance of the netting set's CLEAN one-period P&L (value change plus
+  the period cashflow fixed in between, so deterministic accrual drops
+  out) is estimated by least squares on the netted value, Brownian-
+  scaled to the margin period of risk, and mapped to a Gaussian
+  quantile (the Anfuso-Karyampas-Nawroth regression-IM methodology,
+  the standard proxy for a forward SIMM/CCP-IM profile); MVA
+  integrates the discounted expected IM against the funding spread.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+from statistics import NormalDist
 from typing import Dict, Optional, Sequence
 
 import jax
@@ -130,6 +154,92 @@ def bilateral_cva_from_profile(profile: "ExposureProfile",
             - dva_from_profile(profile, own_hazard_rate, own_recovery))
 
 
+def _survival_weights(times: np.ndarray, counterparty_hazard_rate: float,
+                      own_hazard_rate: float) -> np.ndarray:
+    """Joint survival S_c(t) * S_o(t) at each observation date — funding
+    flows stop at the FIRST default of either party."""
+    h = float(counterparty_hazard_rate) + float(own_hazard_rate)
+    return np.exp(-h * times)
+
+
+def fva_from_profile(profile: "ExposureProfile",
+                     borrow_spread,
+                     lend_spread=None,
+                     counterparty_hazard_rate: float = 0.0,
+                     own_hazard_rate: float = 0.0) -> float:
+    """Funding valuation adjustment from a dated exposure profile:
+
+    ``FVA = FCA - FBA``
+    ``FCA = sum_i s_b(t_i) * EE(t_i)   * S(t_i) * dt_i``  (funding cost)
+    ``FBA = sum_i s_l(t_i) * (-ENE(t_i)) * S(t_i) * dt_i``  (funding benefit)
+
+    with ``S`` the joint survival of both parties (funding of the trade
+    stops at the first default) and ``dt_i`` the observation-grid
+    spacing — the rectangle-rule discretization of the standard
+    discounted-expected-exposure funding integrals. Spreads are
+    CONTINUOUS annualized rates, scalar or one per observation date;
+    ``lend_spread`` defaults to ``borrow_spread`` (symmetric funding).
+    Positive result = a cost to us.
+
+    Run it on a COLLATERALIZED profile (engine built with a ``CSA``) to
+    price the funding of the residual exposure only."""
+    t = profile.times
+    dt = np.diff(np.concatenate([[0.0], t]))
+    s_b = np.broadcast_to(np.asarray(borrow_spread, dtype=np.float64),
+                          t.shape)
+    s_l = (s_b if lend_spread is None
+           else np.broadcast_to(np.asarray(lend_spread, dtype=np.float64),
+                                t.shape))
+    surv = _survival_weights(t, counterparty_hazard_rate, own_hazard_rate)
+    fca = float(np.sum(s_b * profile.ee * surv * dt))
+    fba = float(np.sum(s_l * (-profile.ene) * surv * dt))
+    return fca - fba
+
+
+@dataclass(frozen=True)
+class IMProfile:
+    """Dynamic initial-margin profile (host-side numpy).
+
+    ``times``: observation dates carrying an IM requirement (all but the
+    last observation — IM covers the close-out period that follows).
+    ``expected_im``: E[IM(t) / N(t)] * N(0) — the discounted expected IM
+    in today's money (the MVA integrand).
+    ``expected_im_tmoney``: E[IM(t)] undiscounted (the reporting view).
+    ``dts``: the spacing of the observation grid (the holding interval
+    of each IM value, used by the MVA rectangle rule).
+    ``quantile`` / ``mpr``: the IM definition — a ``quantile`` Gaussian
+    worst-case of the clean P&L over a margin period of risk ``mpr``
+    (in years)."""
+
+    times: np.ndarray
+    expected_im: np.ndarray
+    expected_im_tmoney: np.ndarray
+    dts: np.ndarray
+    quantile: float
+    mpr: float
+
+    def peak_im(self) -> float:
+        return float(np.max(self.expected_im_tmoney))
+
+
+def mva_from_im_profile(im: IMProfile, im_spread,
+                        counterparty_hazard_rate: float = 0.0,
+                        own_hazard_rate: float = 0.0) -> float:
+    """Margin valuation adjustment: the funding cost of posting the
+    initial margin over the life of the netting set,
+
+    ``MVA = sum_i s(t_i) * E[IM(t_i)/N(t_i)]N(0) * S(t_i) * dt_i``
+
+    (rectangle rule; ``s`` the continuous funding-vs-remuneration spread
+    on posted IM, scalar or per-date; ``S`` the joint survival).
+    Positive result = a cost to us."""
+    s = np.broadcast_to(np.asarray(im_spread, dtype=np.float64),
+                        im.times.shape)
+    surv = _survival_weights(im.times, counterparty_hazard_rate,
+                             own_hazard_rate)
+    return float(np.sum(s * im.expected_im * surv * im.dts))
+
+
 @dataclass(frozen=True)
 class ExposureProfile:
     """Dated exposure profile (numpy, host-side).
@@ -153,6 +263,11 @@ class ExposureProfile:
     #: engines only; None for single-product profiles) — ``ee_standalone
     #: - ee`` is the netting benefit
     ee_standalone: Optional[np.ndarray] = None
+    #: uncollateralized netted EE/ENE (present only when the engine was
+    #: built with a ``CSA``; ``ee``/``ene``/``pfe`` are then the RESIDUAL
+    #: exposure after variation margin)
+    ee_gross: Optional[np.ndarray] = None
+    ene_gross: Optional[np.ndarray] = None
 
     def max_pfe(self, q: float) -> float:
         """Peak PFE over the profile at quantile ``q``."""
@@ -191,6 +306,15 @@ class ExposureProfile:
             raise ValueError("profile carries no standalone decomposition")
         return self.ee_standalone - self.ee
 
+    @property
+    def collateral_benefit(self) -> np.ndarray:
+        """Per-date reduction of EE from variation margin (>= 0
+        pointwise under a one-way CSA; a two-way CSA can post collateral
+        OUT and locally increase residual EE)."""
+        if self.ee_gross is None:
+            raise ValueError("profile was built without a CSA")
+        return self.ee_gross - self.ee
+
 
 @dataclass(frozen=True)
 class SwapTrade:
@@ -228,6 +352,44 @@ class SwaptionTrade:
         return self.exercise_index + self.num_periods
 
 
+@dataclass(frozen=True)
+class CSA:
+    """Credit-support annex (variation margin) terms of a netting set.
+
+    ``threshold``: the counterparty posts collateral to us only above
+    this mark-to-market (infinity = they never post).
+    ``threshold_own``: we post above this negative mark (infinity = a
+    one-way CSA in our favour).
+    ``mta``: minimum transfer amount — a margin call is only made when
+    the required balance differs from the held balance by at least this.
+    ``independent_amount``: collateral held from inception on top of
+    variation margin (reduces our exposure from day one; may be negative
+    for an IA we posted).
+    ``margin_lag``: the margin period of risk in OBSERVATION-GRID steps —
+    the balance held at t_i was called against the value at
+    t_{i - margin_lag} (0 = idealized instantaneous margining; >= 1
+    models the close-out period during which the market moves but
+    collateral does not).
+
+    All amounts are in time-t money (the balance is assumed to accrue at
+    the numeraire rate between margin dates)."""
+
+    threshold: float = 0.0
+    threshold_own: float = 0.0
+    mta: float = 0.0
+    independent_amount: float = 0.0
+    margin_lag: int = 1
+
+    def __post_init__(self):
+        if self.threshold < 0 or self.threshold_own < 0:
+            raise ValueError("CSA thresholds must be >= 0 (use inf to "
+                             "disable a posting direction)")
+        if self.mta < 0:
+            raise ValueError("mta must be >= 0")
+        if int(self.margin_lag) != self.margin_lag or self.margin_lag < 0:
+            raise ValueError("margin_lag must be an integer >= 0")
+
+
 class NettingSetExposureEngine:
     """Exposure profile of a NETTING SET of interest-rate trades —
     (possibly forward-starting) swaps AND European swaptions — observed
@@ -254,13 +416,22 @@ class NettingSetExposureEngine:
                  antithetic: bool = False, increments=None,
                  observation_indices: Optional[Sequence[int]] = None,
                  quantiles: Sequence[float] = (0.95, 0.99), dtype=None,
-                 mesh=None, path_axis: str = "paths"):
+                 mesh=None, path_axis: str = "paths",
+                 csa: Optional[CSA] = None):
         """``mesh``: optional jax.sharding.Mesh — Monte-Carlo paths shard
         over ``path_axis`` exactly like the valuation engine's
         (expectations become local f64 sums + psum over ICI; PFE
         quantiles all_gather the per-date netted values, E x paths
         scalars, before the sort). Swap-only sets for now: the swaption
-        LS regression would need psum'd normal equations."""
+        LS regression would need psum'd normal equations.
+
+        ``csa``: optional credit-support annex — EE/ENE/PFE become the
+        RESIDUAL exposure after pathwise variation margin (lagged
+        requirement, thresholds, MTA, independent amount; all computed
+        inside the same jitted program), and the uncollateralized
+        profile ships alongside as ``ee_gross``/``ene_gross``. The
+        margin balance is path-local, so the CSA composes with the
+        mesh."""
         n = model.num_libors
         trades = list(trades)
         if not trades:
@@ -278,6 +449,9 @@ class NettingSetExposureEngine:
                 raise ValueError(f"swaption does not fit the grid: {tr}")
             if tr.basis_degree < 1:
                 raise ValueError(f"basis_degree must be >= 1 in {tr}")
+        if csa is not None and not isinstance(csa, CSA):
+            raise TypeError(f"csa must be a CSA, got {type(csa).__name__}")
+        self.csa = csa
         self.model = model
         self.trades = trades
         self.quantiles = tuple(float(q) for q in quantiles)
@@ -510,10 +684,46 @@ class NettingSetExposureEngine:
                 s_plus_disc = s_plus_disc + jnp.maximum(c_disc, 0.0)
                 v_undisc = v_undisc + jnp.where(disc > 0.0,
                                                 c_disc / disc, 0.0)
-            ee = mean_paths(jnp.maximum(v_disc, 0.0))
-            ene = mean_paths(jnp.minimum(v_disc, 0.0))
             fwd = mean_paths(v_disc)
             ee_standalone = mean_paths(s_plus_disc)
+            extra_rows = []
+            if self.csa is not None:
+                # pathwise variation margin on the observation grid, in
+                # time-t money (balance accrues at the numeraire between
+                # margin dates). Requirement from the LAGGED netted value
+                # (margin period of risk); MTA via a scan of the margin
+                # balance along the observation axis (path-local, so it
+                # shards untouched under the mesh).
+                c = self.csa
+                lag = int(c.margin_lag)
+                if lag > 0:
+                    v_lag = jnp.concatenate(
+                        [jnp.zeros_like(v_undisc[:lag]), v_undisc[:-lag]],
+                        axis=0)
+                else:
+                    v_lag = v_undisc
+                req = (jnp.maximum(v_lag - c.threshold, 0.0)
+                       - jnp.maximum(-v_lag - c.threshold_own, 0.0))
+                if c.mta > 0.0:
+                    def margin_step(bal, target):
+                        new = jnp.where(jnp.abs(target - bal) >= c.mta,
+                                        target, bal)
+                        return new, new
+                    _, coll = jax.lax.scan(
+                        margin_step, jnp.zeros_like(req[0]), req)
+                else:
+                    coll = req
+                expo_u = v_undisc - coll - c.independent_amount
+                e_disc = expo_u * disc
+                ee = mean_paths(jnp.maximum(e_disc, 0.0))
+                ene = mean_paths(jnp.minimum(e_disc, 0.0))
+                extra_rows = [mean_paths(jnp.maximum(v_disc, 0.0)),
+                              mean_paths(jnp.minimum(v_disc, 0.0))]
+                pfe_src = expo_u
+            else:
+                ee = mean_paths(jnp.maximum(v_disc, 0.0))
+                ene = mean_paths(jnp.minimum(v_disc, 0.0))
+                pfe_src = v_undisc
             if eng.mesh is not None:
                 # quantiles need the whole ensemble: gather the per-date
                 # netted values (E x paths scalars) over ICI — every
@@ -521,18 +731,19 @@ class NettingSetExposureEngine:
                 # pmean is a numerical no-op that marks the result
                 # replicated for shard_map's out_specs check (pmean, not
                 # pmax: some backends lower only sum all-reduces)
-                gathered = jax.lax.all_gather(v_undisc, eng.path_axis,
+                gathered = jax.lax.all_gather(pfe_src, eng.path_axis,
                                               axis=-1, tiled=True)
                 pfe = jax.lax.pmean(jnp.quantile(gathered, qs, axis=-1),
                                     eng.path_axis)
             else:
-                pfe = jnp.quantile(v_undisc, qs, axis=-1)  # [Q, E], t-money
+                pfe = jnp.quantile(pfe_src, qs, axis=-1)  # [Q, E], t-money
             # ONE stacked output: each separate device->host array read
             # pays a full dispatch RTT over the TPU tunnel (measured:
             # 5 reads = 142 ms vs 54 ms compute) — pack the profile into
-            # a single [4 + Q, E] array and read it back once
+            # a single [4 (+2 CSA) + Q, E] array and read it back once
             return jnp.concatenate(
-                [jnp.stack([ee, ene, fwd, ee_standalone]), pfe], axis=0)
+                [jnp.stack([ee, ene, fwd, ee_standalone] + extra_rows),
+                 pfe], axis=0)
 
         # _wrap_public supplies the jit + the mesh (shard_map, replicated
         # out) + injected-increments combinations, same as the valuation
@@ -544,14 +755,17 @@ class NettingSetExposureEngine:
         """Full dated exposure profile at covariance parameters ``params``
         — one device dispatch, one host transfer."""
         params = jnp.asarray(params, dtype=self.engine.dtype)
-        arr = np.asarray(self._profile_fn(params))        # [4 + Q, E]
+        arr = np.asarray(self._profile_fn(params))   # [4 (+2 CSA) + Q, E]
+        q0 = 6 if self.csa is not None else 4
         return ExposureProfile(
             times=self._obs_times.copy(),
             ee=arr[0],
             ene=arr[1],
             forward_value=arr[2],
-            pfe={q: arr[4 + i] for i, q in enumerate(self.quantiles)},
+            pfe={q: arr[q0 + i] for i, q in enumerate(self.quantiles)},
             ee_standalone=arr[3],
+            ee_gross=arr[4] if self.csa is not None else None,
+            ene_gross=arr[5] if self.csa is not None else None,
         )
 
     # ------------------------------------------------------------------
@@ -693,6 +907,11 @@ class NettingSetExposureEngine:
                 "cva_forward_deltas currently covers swap-only netting "
                 "sets (the adjoint-safe delta core does not regress "
                 "swaption conditional values)")
+        if self.csa is not None:
+            raise NotImplementedError(
+                "cva_forward_deltas differentiates the UNCOLLATERALIZED "
+                "CVA (the adjoint core does not model the margin "
+                "balance); build the engine without a CSA")
         pd = _default_probability_vector(self._obs_times, hazard_rate,
                                          default_probabilities)
         pd = (1.0 - float(recovery)) * pd
@@ -708,6 +927,167 @@ class NettingSetExposureEngine:
             jnp.asarray(self.model.initial_forwards, dtype=jnp.float64),
             jnp.asarray(pd))
         return float(v), np.asarray(g)
+
+    # ------------------------------------------------------------------
+    def _build_im_fn(self, quantile: float, mpr: float, degree: int):
+        """Jitted dynamic-IM core: conditional variance of the netting
+        set's CLEAN one-period P&L by least-squares regression on the
+        netted value, Brownian-scaled from the observation interval to
+        the margin period of risk, mapped to the Gaussian ``quantile``.
+
+        Clean P&L over [t_i, t_{i+1}]: ``V(t_{i+1}) + CF_{i+1} - V(t_i)``
+        where ``CF_{i+1}`` is the period-i payment fixed at t_i (added
+        back so the known cashflow roll-off does not masquerade as
+        risk); the deterministic one-period accrual of V(t_i) drops out
+        of the CONDITIONAL VARIANCE entirely, which is all IM uses."""
+        eng = self.engine
+        model = self.model
+        cdtype = eng.collect_dtype
+        n = model.num_libors
+        spot = model.measure == "spot"
+        deltas = jnp.asarray(model.deltas, dtype=cdtype)
+        pay_mask = jnp.asarray(self._pay_mask_np, dtype=eng.dtype)
+        start_m1 = jnp.asarray(self._start_m1_np)
+        is_fwd = jnp.asarray(self._is_fwd_np)
+        coef = jnp.asarray(self._coef_np, dtype=ACC_DTYPE)
+        end_m1 = jnp.asarray(self._end_m1_np)
+        strikes = jnp.asarray(self._strikes_np, dtype=ACC_DTYPE)
+        j_iota = jnp.arange(n)[:, None]
+        df_obs = jnp.asarray(self._df_obs_np, dtype=ACC_DTYPE)
+        obs = self.observation_indices
+        E_n = len(obs)
+
+        # static per-event cashflow coefficients: the payment fixed at
+        # observation i (period e_i, paid at T_{i+1}) is
+        # a_i * L_{e_i}(t_i) - b_i summed over the trades whose schedule
+        # still contains period e_i
+        a_np = np.zeros(E_n)
+        b_np = np.zeros(E_n)
+        for i, e in enumerate(obs):
+            w = self._coef_np[i] * self._pay_mask_np[i, :, e]
+            a_np[i] = w.sum()
+            b_np[i] = (w * self._strikes_np).sum()
+        a_cf = jnp.asarray(a_np, dtype=ACC_DTYPE)
+        b_cf = jnp.asarray(b_np, dtype=ACC_DTYPE)
+
+        dts = np.diff(self._obs_times)
+        scale_np = float(NormalDist().inv_cdf(quantile)) \
+            * np.sqrt(mpr / dts)
+        scale = jnp.asarray(scale_np, dtype=ACC_DTYPE)      # [E-1]
+
+        def collect(e, ev, L, N):
+            deltas_col = deltas[:, None].astype(L.dtype)
+            cp = bond_ratio_cumprod_hi(L, deltas_col, e, j_iota, cdtype)
+            if spot:
+                inv_n = 1.0 / N.astype(ACC_DTYPE)
+            else:
+                inv_n = 1.0 / cp[n - 1].astype(ACC_DTYPE)
+            ann = jnp.matmul(pay_mask[ev], cp.astype(eng.dtype),
+                             precision=jax.lax.Precision.HIGHEST
+                             ).astype(ACC_DTYPE)
+            p_start = jnp.where(is_fwd[ev][:, None],
+                                jnp.take(cp, start_m1[ev], axis=0), 1.0)
+            p_end = jnp.take(cp, end_m1, axis=0)
+            v_net = jnp.sum(
+                coef[ev][:, None] * (
+                    p_start.astype(ACC_DTYPE) - p_end.astype(ACC_DTYPE)
+                    - strikes[:, None] * ann),
+                axis=0)
+            return v_net, L[e].astype(ACC_DTYPE), inv_n
+
+        def core(params, inc):
+            v_t, fix, inv_n = eng._simulate_collect(params, collect, inc)
+            finite = (jnp.isfinite(v_t) & jnp.isfinite(fix)
+                      & jnp.isfinite(inv_n))
+            v_t = jnp.where(finite, v_t, 0.0)
+            fix = jnp.where(finite, fix, 0.0)
+            inv_n = jnp.where(finite, inv_n, 0.0)
+            if not spot:
+                inv_n = inv_n * eng._p0_terminal
+            mean_inv = jnp.mean(inv_n, axis=-1)
+            if model.use_numeraire_adjustment:
+                adj = jnp.where(mean_inv > 0.0, df_obs / mean_inv, 0.0)
+            else:
+                adj = jnp.ones_like(mean_inv)
+            disc = inv_n * adj[:, None]
+            cf = a_cf[:, None] * fix - b_cf[:, None]        # [E, paths]
+            pnl = v_t[1:] + cf[:-1] - v_t[:-1]              # [E-1, paths]
+            im_disc, im_t = [], []
+            for i in range(E_n - 1):
+                x = v_t[i]
+                mu = jnp.mean(x)
+                sd = jnp.sqrt(jnp.maximum(jnp.mean((x - mu) ** 2), 1e-30))
+                xn = ((x - mu) / sd).astype(eng.dtype)
+                basis = jnp.stack([xn ** k for k in range(degree + 1)])
+                y = pnl[i]
+                m1 = regression_predict(
+                    basis, regression_fit(basis, y)).astype(ACC_DTYPE)
+                m2 = regression_predict(
+                    basis, regression_fit(basis, y * y)).astype(ACC_DTYPE)
+                var = jnp.maximum(m2 - m1 * m1, 0.0)
+                im_i = scale[i] * jnp.sqrt(var)             # [paths]
+                im_disc.append(jnp.mean(im_i * disc[i]))
+                im_t.append(jnp.mean(im_i))
+            # one [2, E-1] transfer (see the profile core's RTT note)
+            return jnp.stack([jnp.stack(im_disc), jnp.stack(im_t)])
+
+        return eng._wrap_public(core)
+
+    def im_profile(self, params, quantile: float = 0.99,
+                   mpr: float = 14.0 / 365.0,
+                   basis_degree: int = 2) -> IMProfile:
+        """Dynamic initial-margin profile: at every observation date but
+        the last, the Gaussian ``quantile`` of the netting set's clean
+        P&L over a margin period of risk ``mpr`` (years), conditional on
+        the date's information via least-squares regression (see
+        ``_build_im_fn``) — ONE device dispatch, one host transfer.
+        Feed the result to ``mva_from_im_profile``."""
+        if self.swaptions:
+            raise NotImplementedError(
+                "im_profile currently covers swap-only netting sets")
+        if self.engine.mesh is not None:
+            raise NotImplementedError(
+                "im_profile is single-device for now (the moment "
+                "regressions would need psum'd normal equations)")
+        if not 0.5 < quantile < 1.0:
+            raise ValueError("quantile must lie in (0.5, 1)")
+        if mpr <= 0.0:
+            raise ValueError("mpr must be positive (years)")
+        if basis_degree < 1:
+            raise ValueError("basis_degree must be >= 1")
+        obs = self.observation_indices
+        if len(obs) < 2 or any(np.diff(obs) != 1):
+            raise ValueError(
+                "im_profile needs consecutive observation indices (the "
+                "clean-P&L cashflow add-back assumes one period fixes "
+                "between adjacent observations)")
+        key = (float(quantile), float(mpr), int(basis_degree))
+        fns = getattr(self, "_im_fns", None)
+        if fns is None:
+            fns = self._im_fns = {}
+        if key not in fns:
+            fns[key] = self._build_im_fn(*key)
+        arr = np.asarray(fns[key](
+            jnp.asarray(params, dtype=self.engine.dtype)))  # [2, E-1]
+        return IMProfile(
+            times=self._obs_times[:-1].copy(),
+            expected_im=arr[0],
+            expected_im_tmoney=arr[1],
+            dts=np.diff(self._obs_times),
+            quantile=float(quantile),
+            mpr=float(mpr),
+        )
+
+    def mva(self, params, im_spread, quantile: float = 0.99,
+            mpr: float = 14.0 / 365.0,
+            counterparty_hazard_rate: float = 0.0,
+            own_hazard_rate: float = 0.0) -> float:
+        """Margin valuation adjustment of the netting set: the dynamic
+        IM profile integrated against the IM funding spread (see
+        ``mva_from_im_profile``)."""
+        return mva_from_im_profile(
+            self.im_profile(params, quantile=quantile, mpr=mpr),
+            im_spread, counterparty_hazard_rate, own_hazard_rate)
 
 
 class SwapExposureEngine(NettingSetExposureEngine):
@@ -725,7 +1105,8 @@ class SwapExposureEngine(NettingSetExposureEngine):
                  antithetic: bool = False, increments=None,
                  observation_indices: Optional[Sequence[int]] = None,
                  quantiles: Sequence[float] = (0.95, 0.99), dtype=None,
-                 mesh=None, path_axis: str = "paths"):
+                 mesh=None, path_axis: str = "paths",
+                 csa: Optional[CSA] = None):
         n = model.num_libors
         if not (1 <= first_index < last_index <= n):
             raise ValueError("invalid swap period range")
@@ -746,7 +1127,7 @@ class SwapExposureEngine(NettingSetExposureEngine):
             num_paths=num_paths, num_factors=num_factors, seed=seed,
             antithetic=antithetic, increments=increments,
             observation_indices=observation_indices, quantiles=quantiles,
-            dtype=dtype, mesh=mesh, path_axis=path_axis)
+            dtype=dtype, mesh=mesh, path_axis=path_axis, csa=csa)
 
 
 class SwaptionExposureEngine:
