@@ -10,8 +10,22 @@ from .calibration import (
     LevenbergMarquardt,
     LMResult,
 )
+from .heston import (
+    HestonCalibrationResult,
+    HestonModel,
+    HestonParams,
+    calibrate_heston,
+    heston_characteristic_prices,
+    mc_heston_european_prices,
+)
 
 __all__ = [
+    "HestonCalibrationResult",
+    "HestonModel",
+    "HestonParams",
+    "calibrate_heston",
+    "heston_characteristic_prices",
+    "mc_heston_european_prices",
     "TimeDiscretization",
     "BrownianMotion",
     "BrownianMotionHostRandom",
