@@ -10,6 +10,14 @@ from .calibration import (
     LevenbergMarquardt,
     LMResult,
 )
+from .merton import (
+    MertonCalibrationResult,
+    MertonParams,
+    MonteCarloMertonModel,
+    calibrate_merton,
+    mc_merton_european_prices,
+    merton_series_prices,
+)
 from .heston import (
     HestonCalibrationResult,
     HestonModel,
@@ -20,6 +28,12 @@ from .heston import (
 )
 
 __all__ = [
+    "MertonCalibrationResult",
+    "MertonParams",
+    "MonteCarloMertonModel",
+    "calibrate_merton",
+    "mc_merton_european_prices",
+    "merton_series_prices",
     "HestonCalibrationResult",
     "HestonModel",
     "HestonParams",
