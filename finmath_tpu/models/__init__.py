@@ -10,6 +10,12 @@ from .calibration import (
     LevenbergMarquardt,
     LMResult,
 )
+from .hull_white import (
+    HullWhiteCalibrationResult,
+    HullWhiteModel,
+    HullWhiteSimulation,
+    calibrate_hull_white,
+)
 from .merton import (
     MertonCalibrationResult,
     MertonParams,
@@ -28,6 +34,10 @@ from .heston import (
 )
 
 __all__ = [
+    "HullWhiteCalibrationResult",
+    "HullWhiteModel",
+    "HullWhiteSimulation",
+    "calibrate_hull_white",
     "MertonCalibrationResult",
     "MertonParams",
     "MonteCarloMertonModel",
