@@ -10,6 +10,28 @@ from .calibration import (
     LevenbergMarquardt,
     LMResult,
 )
+from .bachelier import (
+    BachelierParams,
+    DisplacedLognormalParams,
+    bachelier_analytic_price,
+    displaced_analytic_price,
+    mc_bachelier_european_prices,
+    mc_displaced_european_prices,
+)
+from .fourier import (
+    black_scholes_cf,
+    european_call_from_cf,
+    heston_cf,
+    merton_cf,
+    variance_gamma_cf,
+)
+from .variance_gamma import (
+    VarianceGammaCalibrationResult,
+    VarianceGammaParams,
+    calibrate_variance_gamma,
+    mc_vg_european_prices,
+    vg_analytic_prices,
+)
 from .hull_white import (
     HullWhiteCalibrationResult,
     HullWhiteModel,
@@ -34,6 +56,22 @@ from .heston import (
 )
 
 __all__ = [
+    "BachelierParams",
+    "DisplacedLognormalParams",
+    "bachelier_analytic_price",
+    "displaced_analytic_price",
+    "mc_bachelier_european_prices",
+    "mc_displaced_european_prices",
+    "black_scholes_cf",
+    "european_call_from_cf",
+    "heston_cf",
+    "merton_cf",
+    "variance_gamma_cf",
+    "VarianceGammaCalibrationResult",
+    "VarianceGammaParams",
+    "calibrate_variance_gamma",
+    "mc_vg_european_prices",
+    "vg_analytic_prices",
     "HullWhiteCalibrationResult",
     "HullWhiteModel",
     "HullWhiteSimulation",
