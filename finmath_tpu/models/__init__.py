@@ -10,6 +10,10 @@ from .calibration import (
     LevenbergMarquardt,
     LMResult,
 )
+from .american import (
+    BermudanOption,
+    crr_american_price,
+)
 from .bachelier import (
     BachelierParams,
     DisplacedLognormalParams,
@@ -56,6 +60,8 @@ from .heston import (
 )
 
 __all__ = [
+    "BermudanOption",
+    "crr_american_price",
     "BachelierParams",
     "DisplacedLognormalParams",
     "bachelier_analytic_price",

@@ -95,6 +95,21 @@ class MonteCarloBlackScholesModel:
             raise ValueError(f"time {time} not on the simulation grid")
         return self.process.get_process_value(ti, asset_index)
 
+    def get_asset_values(self, times, asset_index: int = 0) -> jax.Array:
+        """[len(times), paths] asset matrix in ONE device program —
+        through the TPU tunnel every eager per-date slice costs a full
+        dispatch RTT; exercise-schedule consumers (Longstaff-Schwartz)
+        use this batched accessor instead."""
+        td = self.process.time_discretization
+        idx = []
+        for t in times:
+            ti = td.get_time_index(t)
+            if ti < 0:
+                raise ValueError(f"time {t} not on the simulation grid")
+            idx.append(ti)
+        states = self.process._lazy_states()
+        return exp32(states[jnp.asarray(idx), asset_index])
+
     def get_numeraire(self, time: float) -> RandomVariableTPU:
         return self.model.numeraire(time)
 

@@ -322,6 +322,18 @@ class MonteCarloMertonModel:
             self.time_discretization.get_time(ti),
             exp32(self._states()[ti]))
 
+    def get_asset_values(self, times, asset_index: int = 0) -> jax.Array:
+        """[len(times), paths] asset matrix in ONE device program (the
+        batched accessor exercise-schedule consumers use — each eager
+        per-date slice costs a dispatch RTT through the TPU tunnel)."""
+        idx = []
+        for t in times:
+            ti = self.time_discretization.get_time_index(t)
+            if ti < 0:
+                raise ValueError(f"time {t} not on the simulation grid")
+            idx.append(ti)
+        return exp32(self._states()[jnp.asarray(idx)])
+
     def get_numeraire(self, time: float) -> RandomVariableTPU:
         return RandomVariableTPU(
             time, math.exp(self.params.risk_free_rate * time))
