@@ -824,6 +824,96 @@ def bench_cva_deltas(eng, p0):
     }
 
 
+def bench_model_zoo():
+    """Round-3 model families: one fused pricing program each, validated
+    against its analytic oracle in the same leg (warm wall = best of 3
+    after an untimed compile call). Sizes chosen to keep the leg's
+    cold-compile budget ~1-2 min."""
+    import numpy as np
+
+    from finmath_tpu.models import (
+        BermudanOption, HestonParams, HullWhiteModel, HullWhiteSimulation,
+        MertonParams, VarianceGammaParams, crr_american_price,
+        heston_characteristic_prices, mc_heston_european_prices,
+        mc_merton_european_prices, mc_vg_european_prices,
+        merton_series_prices, vg_analytic_prices)
+    from finmath_tpu.models.black_scholes import (
+        BlackScholesModel, MonteCarloBlackScholesModel)
+    from finmath_tpu.models.curves import DiscountCurve
+    from finmath_tpu.models.time_discretization import TimeDiscretization
+
+    ks = np.array([80.0, 90.0, 100.0, 110.0, 125.0])
+    out = {}
+
+    def best_of(fn, reps=3):
+        fn()
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = fn()
+            ts.append(time.perf_counter() - t0)
+        return r, round(min(ts) * 1000, 2)
+
+    hp = HestonParams(100.0, 0.03, v0=0.04, kappa=1.5, theta=0.05,
+                      xi=0.6, rho=-0.7)
+    h_ref = heston_characteristic_prices(hp, 1.5, ks)
+    (px, fwd, _), ms = best_of(lambda: mc_heston_european_prices(
+        hp, 1.5, ks, num_paths=1_000_000, num_steps=64, scheme="qe",
+        antithetic=True))
+    out["heston_qe_1m_x64"] = {
+        "wall_ms": ms, "max_rel_dev_vs_cf": float(
+            np.abs(px - h_ref).max() / h_ref.min()),
+        "fwd_err": round(fwd - 100.0, 4)}
+
+    mp = MertonParams(100.0, 0.05, 0.2, jump_intensity=0.6,
+                      jump_size_mean=-0.15, jump_size_std=0.25)
+    m_ref = merton_series_prices(mp, 1.0, ks)
+    (px, _), ms = best_of(lambda: mc_merton_european_prices(
+        mp, 1.0, ks, num_paths=1_000_000, num_steps=16, antithetic=True))
+    out["merton_1m_x16"] = {
+        "wall_ms": ms, "max_rel_dev_vs_series": float(
+            np.abs(px - m_ref).max() / m_ref.min())}
+
+    vp = VarianceGammaParams(100.0, 0.04, sigma=0.18, theta=-0.14,
+                             nu=0.25)
+    v_ref = vg_analytic_prices(vp, 1.25, ks)
+    (px, _), ms = best_of(lambda: mc_vg_european_prices(
+        vp, 1.25, ks, num_paths=1_000_000, num_steps=16, antithetic=True))
+    out["variance_gamma_1m_x16"] = {
+        "wall_ms": ms, "max_rel_dev_vs_fourier": float(
+            np.abs(px - v_ref).max() / v_ref.min())}
+
+    pil = np.array([0.5, 1.0, 2.0, 3.0, 5.0, 7.0, 10.0, 15.0, 20.0])
+    z = np.array([0.010, 0.012, 0.015, 0.017, 0.020, 0.022, 0.024,
+                  0.025, 0.0255])
+    hw = HullWhiteModel(DiscountCurve(list(pil), list(np.exp(-z * pil))),
+                        0.12, [0.010, 0.014, 0.008],
+                        vol_times=[0.0, 2.0, 5.0])
+    sim = HullWhiteSimulation(
+        hw, TimeDiscretization(initial=0.0, num_steps=20, step=0.5),
+        num_paths=1_000_000, seed=7, antithetic=True)
+    pts = [3.0, 3.5, 4.0, 4.5, 5.0]
+    an = hw.swaption(2.0, pts, 0.02)
+    mc, ms = best_of(lambda: sim.mc_swaption_price(2.0, pts, 0.02))
+    out["hull_white_swaption_1m"] = {
+        "wall_ms": ms, "rel_dev_vs_jamshidian": float((mc - an) / an),
+        "curve_fit_rel_10y": float(
+            sim.mc_bond_price(10.0) / float(hw.df(10.0)) - 1.0)}
+
+    bs_sim = MonteCarloBlackScholesModel(
+        TimeDiscretization(initial=0.0, num_steps=50, step=0.02),
+        1_000_000, BlackScholesModel(100.0, 0.05, 0.3), seed=77)
+    opt = BermudanOption([i * 0.02 for i in range(1, 51)], 110.0,
+                         is_call=False)
+    crr = crr_american_price(100.0, 0.05, 0.3, 1.0, 110.0,
+                             is_call=False, num_steps=4000)
+    (v, err), ms = best_of(lambda: opt.get_value_and_error(bs_sim))
+    out["american_ls_put_1m_x50"] = {
+        "wall_ms": ms, "value": round(v, 5), "stderr": round(err, 5),
+        "crr_oracle": round(crr, 5)}
+    return out
+
+
 def _leg(detail, key, fn, attempts=2):
     """Run a secondary bench leg; one retry on failure (the remote compile
     service occasionally drops a response mid-body — observed
@@ -858,6 +948,7 @@ def main():
     _leg(detail, "bermudan_ls_100k", bench_bermudan)
     _leg(detail, "aad_greeks", bench_aad_greeks)
     _leg(detail, "exposure_cva", bench_exposure)
+    _leg(detail, "model_zoo", bench_model_zoo)
 
     # the detail block is large; keep the REQUIRED summary as its own
     # compact final line (driver-parse-safe even when stdout is
