@@ -14,6 +14,12 @@ from .american import (
     BermudanOption,
     crr_american_price,
 )
+from .equity_products import (
+    AsianOption,
+    BarrierOption,
+    DigitalOption,
+    LookbackOption,
+)
 from .bachelier import (
     BachelierParams,
     DisplacedLognormalParams,
@@ -62,6 +68,10 @@ from .heston import (
 __all__ = [
     "BermudanOption",
     "crr_american_price",
+    "AsianOption",
+    "BarrierOption",
+    "DigitalOption",
+    "LookbackOption",
     "BachelierParams",
     "DisplacedLognormalParams",
     "bachelier_analytic_price",

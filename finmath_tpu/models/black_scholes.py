@@ -24,7 +24,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.precise_math import exp32
+from ..ops.precise_math import exp32, gather_component_exp32
 from ..ops.random_variable import ACC_DTYPE, FLOAT_DTYPE, RandomVariableTPU
 from .brownian_motion import BrownianMotion
 from .process import EulerScheme, ProcessModel
@@ -108,7 +108,8 @@ class MonteCarloBlackScholesModel:
                 raise ValueError(f"time {t} not on the simulation grid")
             idx.append(ti)
         states = self.process._lazy_states()
-        return exp32(states[jnp.asarray(idx), asset_index])
+        return gather_component_exp32(states, jnp.asarray(idx),
+                              jnp.asarray(asset_index))
 
     def get_numeraire(self, time: float) -> RandomVariableTPU:
         return self.model.numeraire(time)

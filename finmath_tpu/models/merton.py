@@ -47,7 +47,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.precise_math import exp32
+from ..ops.precise_math import exp32, gather_exp32
 from ..ops.random_variable import ACC_DTYPE, FLOAT_DTYPE, RandomVariableTPU
 from .analytic import black_scholes_option_value
 from .time_discretization import TimeDiscretization
@@ -332,7 +332,7 @@ class MonteCarloMertonModel:
             if ti < 0:
                 raise ValueError(f"time {t} not on the simulation grid")
             idx.append(ti)
-        return exp32(self._states()[jnp.asarray(idx)])
+        return gather_exp32(self._states(), jnp.asarray(idx))
 
     def get_numeraire(self, time: float) -> RandomVariableTPU:
         return RandomVariableTPU(

@@ -159,3 +159,20 @@ def log1p_32(x: jax.Array) -> jax.Array:
     # log1p(x) = x - x^2/2 + x^3/3 - x^4/4 + x^5/5 for small x
     t = x * (1 - x * (_F32(0.5) - x * (_F32(1 / 3) - x * (_F32(0.25) - x * _F32(0.2)))))
     return jnp.where(small, t, log32(_F32(1.0) + x))
+
+
+@jax.jit
+def gather_exp32(states, idx):
+    """Jitted gather + exp32 for the simulation facades'
+    ``get_asset_values``: eager exp32 over a [dates, paths] log-state
+    matrix materializes ~5 full-size temporaries (one per masked fixup
+    above) — ~5 GB at 250 dates x 1M paths, an observed
+    RESOURCE_EXHAUSTED on the v5e; fused under jit it is one pass and
+    one output buffer."""
+    return exp32(states[idx])
+
+
+@jax.jit
+def gather_component_exp32(states, idx, component):
+    """As gather_exp32 for [dates, components, paths] state layouts."""
+    return exp32(states[idx, component])
