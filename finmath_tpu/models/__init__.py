@@ -20,6 +20,14 @@ from .equity_products import (
     DigitalOption,
     LookbackOption,
 )
+from .multi_asset import (
+    BasketOption,
+    ExchangeOption,
+    MonteCarloMultiAssetBlackScholesModel,
+    MultiAssetBlackScholesModel,
+    RainbowOption,
+    SpreadOption,
+)
 from .bachelier import (
     BachelierParams,
     DisplacedLognormalParams,
@@ -72,6 +80,12 @@ __all__ = [
     "BarrierOption",
     "DigitalOption",
     "LookbackOption",
+    "BasketOption",
+    "ExchangeOption",
+    "MonteCarloMultiAssetBlackScholesModel",
+    "MultiAssetBlackScholesModel",
+    "RainbowOption",
+    "SpreadOption",
     "BachelierParams",
     "DisplacedLognormalParams",
     "bachelier_analytic_price",
