@@ -914,6 +914,115 @@ def bench_model_zoo():
     return out
 
 
+def bench_exotics():
+    """Round-3 exotic product layer: one fused program per product over
+    shared path facades (one 1M x 250 BS simulation serves all four
+    path-dependent products; one 3-asset 1M simulation serves the
+    rainbows). Each leg reports warm wall + oracle deviation."""
+    import numpy as np
+
+    from finmath_tpu.models import (
+        AsianOption, BarrierOption, BasketOption, DigitalOption,
+        ExchangeOption, LookbackOption, RainbowOption, SABRParams,
+        mc_sabr_implied_vols)
+    from finmath_tpu.models.analytic import (
+        barrier_option_value, digital_option_value)
+    from finmath_tpu.models.black_scholes import (
+        BlackScholesModel, MonteCarloBlackScholesModel)
+    from finmath_tpu.models.multi_asset import (
+        MonteCarloMultiAssetBlackScholesModel, MultiAssetBlackScholesModel,
+        margrabe_exchange_value, stulz_rainbow_value)
+    from finmath_tpu.models.sabr import sabr_lognormal_implied_volatility
+    from finmath_tpu.models.time_discretization import TimeDiscretization
+
+    out = {}
+    s0, r, sig, t = 100.0, 0.05, 0.3, 1.0
+    n = 250
+    td = TimeDiscretization(initial=0.0, num_steps=n, step=t / n)
+    sim = MonteCarloBlackScholesModel(td, 1_000_000,
+                                      BlackScholesModel(s0, r, sig),
+                                      seed=42)
+
+    def best_of(fn, reps=3):
+        fn()
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            res = fn()
+            ts.append(time.perf_counter() - t0)
+        return res, round(min(ts) * 1000, 2)
+
+    (v, e), ms = best_of(
+        lambda: DigitalOption(t, 105.0).get_value_and_error(sim))
+    out["digital_1m"] = {
+        "wall_ms": ms,
+        "dev_vs_cf": v - digital_option_value(s0, r, sig, t, 105.0),
+        "stderr": e}
+
+    dates = [round((i + 1) * t / 12 / (t / n)) * (t / n)
+             for i in range(12)]
+    (vp, ep), _ = best_of(
+        lambda: AsianOption(dates, 100.0).get_value_and_error(sim))
+    (vc, ec), ms = best_of(lambda: AsianOption(
+        dates, 100.0, control_variate="geometric")
+        .get_value_and_error(sim))
+    out["asian_cv_1m_x12"] = {
+        "wall_ms": ms, "stderr_reduction": round(ep / ec, 1),
+        "plain_vs_cv_dev": vp - vc}
+
+    (v, e), ms = best_of(lambda: BarrierOption(
+        t, 100.0, 130.0, "up-out", monitoring="bridge")
+        .get_value_and_error(sim))
+    out["barrier_bridge_1m_x250"] = {
+        "wall_ms": ms, "stderr": e,
+        "dev_vs_continuous_cf": v - barrier_option_value(
+            s0, r, sig, t, 100.0, 130.0, "up-out")}
+
+    (v, e), ms = best_of(
+        lambda: LookbackOption(t, "floating-call")
+        .get_value_and_error(sim))
+    out["lookback_1m_x250"] = {"wall_ms": ms, "value": round(v, 4),
+                               "stderr": e}
+
+    s0v = [100.0, 95.0, 105.0]
+    vols = [0.25, 0.35, 0.2]
+    corr = [[1.0, 0.4, 0.2], [0.4, 1.0, 0.5], [0.2, 0.5, 1.0]]
+    td3 = TimeDiscretization(initial=0.0, num_steps=30, step=1.5 / 30)
+    sim3 = MonteCarloMultiAssetBlackScholesModel(
+        td3, 1_000_000, MultiAssetBlackScholesModel(s0v, r, vols, corr),
+        seed=11)
+    (v, e), ms = best_of(
+        lambda: ExchangeOption(1.5, 0, 1).get_value_and_error(sim3))
+    out["exchange_1m"] = {
+        "wall_ms": ms, "stderr": e,
+        "dev_vs_margrabe": v - margrabe_exchange_value(
+            s0v[0], s0v[1], vols[0], vols[1], 0.4, 1.5)}
+    (v, e), ms = best_of(lambda: RainbowOption(
+        1.5, 100.0, "call-on-min", asset_indices=[0, 1])
+        .get_value_and_error(sim3))
+    out["rainbow_min_1m"] = {
+        "wall_ms": ms, "stderr": e,
+        "dev_vs_stulz": v - stulz_rainbow_value(
+            s0v[0], s0v[1], r, vols[0], vols[1], 0.4, 1.5, 100.0,
+            "call-on-min")}
+    (v, e), ms = best_of(lambda: BasketOption(
+        1.5, [0.4, 0.3, 0.3], 100.0, control_variate="geometric")
+        .get_value_and_error(sim3))
+    out["basket_cv_1m"] = {"wall_ms": ms, "value": round(v, 4),
+                           "stderr": e}
+
+    p = SABRParams(alpha=0.035, beta=0.5, rho=-0.3, nu=0.4)
+    ks = np.array([0.025, 0.03, 0.035])
+    mc, ms = best_of(lambda: mc_sabr_implied_vols(
+        p, 0.03, 2.0, ks, num_paths=1_000_000, num_steps=64, seed=5))
+    hag = np.array([sabr_lognormal_implied_volatility(p, 0.03, k, 2.0)
+                    for k in ks])
+    out["sabr_smile_1m_x64"] = {
+        "wall_ms": ms,
+        "max_vol_dev_vs_hagan": float(np.abs(mc - hag).max())}
+    return out
+
+
 def _leg(detail, key, fn, attempts=2):
     """Run a secondary bench leg; one retry on failure (the remote compile
     service occasionally drops a response mid-body — observed
@@ -949,6 +1058,7 @@ def main():
     _leg(detail, "aad_greeks", bench_aad_greeks)
     _leg(detail, "exposure_cva", bench_exposure)
     _leg(detail, "model_zoo", bench_model_zoo)
+    _leg(detail, "exotics", bench_exotics)
 
     # the detail block is large; keep the REQUIRED summary as its own
     # compact final line (driver-parse-safe even when stdout is
