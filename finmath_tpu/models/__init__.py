@@ -29,6 +29,10 @@ from .sabr import (
     sabr_lognormal_implied_volatility,
     sabr_normal_implied_volatility,
 )
+from .hw_bermudan import (
+    BermudanSwaption,
+    hw_bermudan_swaption_pde,
+)
 from .cube import (
     CMSReplicationPricer,
     LinearTSRAnnuityMapping,
@@ -112,6 +116,8 @@ __all__ = [
     "LinearTSRAnnuityMapping",
     "SwaptionCube",
     "SwaptionSmile",
+    "BermudanSwaption",
+    "hw_bermudan_swaption_pde",
     "BachelierParams",
     "DisplacedLognormalParams",
     "bachelier_analytic_price",
