@@ -29,6 +29,10 @@ from .sabr import (
     sabr_lognormal_implied_volatility,
     sabr_normal_implied_volatility,
 )
+from .hedging import (
+    DeltaHedgedPortfolio,
+    VarianceSwap,
+)
 from .hw_bermudan import (
     BermudanSwaption,
     hw_bermudan_swaption_pde,
@@ -118,6 +122,8 @@ __all__ = [
     "SwaptionSmile",
     "BermudanSwaption",
     "hw_bermudan_swaption_pde",
+    "DeltaHedgedPortfolio",
+    "VarianceSwap",
     "BachelierParams",
     "DisplacedLognormalParams",
     "bachelier_analytic_price",
