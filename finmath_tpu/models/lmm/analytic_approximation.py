@@ -107,18 +107,34 @@ class LMMAnalyticSwaptionEngine:
             s0[k] = _swap_rate_from_forwards(np.asarray(L0), deltas,
                                              p.exercise_index, p.num_periods)
             steps_mask[k, : p.exercise_index] = dts[: p.exercise_index]
-        self._s0 = jnp.asarray(s0)
+        # host numpy on purpose: jnp.asarray would COMMIT these to the
+        # default (TPU) device and drag the cpu-jitted programs back
+        # there; as numpy they trace as host constants
+        self._s0 = np.asarray(s0)
 
-        self._W = jnp.asarray(W)
-        self._texp = jnp.asarray(texp)
-        self._steps_dt = jnp.asarray(steps_mask)    # [P, steps] (dt or 0)
+        self._W = np.asarray(W)
+        self._texp = np.asarray(texp)
+        self._steps_dt = np.asarray(steps_mask)     # [P, steps] (dt or 0)
         self._targets = np.asarray([p.target for p in self.products])
         self._weights = np.asarray([p.weight for p in self.products])
-        self._L0 = jnp.asarray(L0)
+        self._L0 = np.asarray(L0)
 
-        self._quotes_fn = jax.jit(self._build_quotes_fn())
-        self._residual_fn = jax.jit(self._build_residual_fn())
-        self._jac_fn = jax.jit(jax.jacfwd(self._build_residual_fn()))
+        # pinned to the HOST backend: these are microsecond surface-size
+        # programs (no path axis). On the default (TPU) backend every
+        # optimizer evaluation pays the tunnel's ~40 ms dispatch RTT —
+        # measured 9.3 s of the 81,920-path multistart's stage 1 for
+        # ~220 analytic nfev/njev; on CPU the whole stage-1 analytic
+        # pre-fit is milliseconds.
+        def _cpu_jit(fn):
+            try:
+                jax.devices("cpu")
+                return jax.jit(fn, backend="cpu")
+            except RuntimeError:                      # no cpu backend
+                return jax.jit(fn)
+
+        self._quotes_fn = _cpu_jit(self._build_quotes_fn())
+        self._residual_fn = _cpu_jit(self._build_residual_fn())
+        self._jac_fn = _cpu_jit(jax.jacfwd(self._build_residual_fn()))
 
     def _build_quotes_fn(self):
         cov = self.model.covariance
@@ -154,15 +170,21 @@ class LMMAnalyticSwaptionEngine:
 
     # ------------------------------------------------------------------
     def residuals(self, params) -> np.ndarray:
-        return np.asarray(self._residual_fn(jnp.asarray(params, dtype=jnp.float64)))
+        # host numpy input on purpose: jnp.asarray would commit the
+        # params to the DEFAULT (TPU) device and every cpu-jitted call
+        # would pay a device->host transfer RTT to fetch them back
+        return np.asarray(self._residual_fn(
+            np.asarray(params, dtype=np.float64)))
 
     def jacobian(self, params) -> np.ndarray:
-        return np.asarray(self._jac_fn(jnp.asarray(params, dtype=jnp.float64)))
+        return np.asarray(self._jac_fn(
+            np.asarray(params, dtype=np.float64)))
 
     def implied_vols(self, params) -> np.ndarray:
         """Model quotes computed directly (NOT by un-scaling the weighted
         residuals, which is 0/0 for a legitimately de-weighted product)."""
-        return np.asarray(self._quotes_fn(jnp.asarray(params, dtype=jnp.float64)))
+        return np.asarray(self._quotes_fn(
+            np.asarray(params, dtype=np.float64)))
 
     @property
     def targets(self) -> np.ndarray:

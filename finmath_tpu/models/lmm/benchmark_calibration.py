@@ -88,6 +88,19 @@ class BenchmarkCalibrationSetup:
     covariance: LIBORCovarianceModelStochasticVolatility
     products: List[SwaptionProduct]
     _sweep_engine: LMMValuationEngine = None
+    _analytic_engine: object = None
+
+    def analytic_engine(self):
+        """Memoized lognormal analytic approximation engine (stage 1
+        of calibrate_multistart). One instance per setup: the engine
+        jits per instance, so a fresh one in every multistart call
+        would re-trace (and, cache-cold, re-compile) INSIDE the timed
+        stage — bench warms THIS instance alongside the MC engines."""
+        if self._analytic_engine is None:
+            from .analytic_approximation import LMMAnalyticSwaptionEngine
+            self._analytic_engine = LMMAnalyticSwaptionEngine(
+                self.model, self.engine.products)
+        return self._analytic_engine
 
     def sweep_engine(self) -> LMMValuationEngine:
         """Reduced-path engine (num_paths/4, same seed) for the cheap
@@ -280,9 +293,7 @@ class BenchmarkCalibrationSetup:
             # surface and needs fewer reduced-path iterations
             max_mc = 60
             try:
-                from .analytic_approximation import LMMAnalyticSwaptionEngine
-
-                aeng = LMMAnalyticSwaptionEngine(self.model, eng.products)
+                aeng = self.analytic_engine()
                 ra = least_squares(
                     lambda x5: aeng.residuals(
                         np.concatenate([x5, frozen]))[atm_ids],
