@@ -91,6 +91,7 @@ from .heston import (
     HestonCalibrationResult,
     HestonModel,
     HestonParams,
+    MonteCarloHestonModel,
     calibrate_heston,
     heston_characteristic_prices,
     mc_heston_european_prices,
@@ -153,6 +154,7 @@ __all__ = [
     "HestonCalibrationResult",
     "HestonModel",
     "HestonParams",
+    "MonteCarloHestonModel",
     "calibrate_heston",
     "heston_characteristic_prices",
     "mc_heston_european_prices",

@@ -51,7 +51,8 @@ import numpy as np
 
 from ..ops.precise_math import exp32
 from ..ops.random_variable import ACC_DTYPE, FLOAT_DTYPE, RandomVariableTPU
-from .process import ProcessModel
+from .process import EulerScheme, ProcessModel
+from .time_discretization import TimeDiscretization
 
 
 @dataclass(frozen=True)
@@ -368,11 +369,74 @@ class HestonModel(ProcessModel):
         return RandomVariableTPU(
             time, math.exp(self.params.risk_free_rate * time))
 
+    @property
+    def initial_value(self) -> float:
+        return self.params.initial_value
+
+    @property
+    def risk_free_rate(self) -> float:
+        return self.params.risk_free_rate
+
     def __hash__(self):
         return hash(self.params)
 
     def __eq__(self, other):
         return isinstance(other, HestonModel) and self.params == other.params
+
+
+class MonteCarloHestonModel:
+    """Simulation facade over the Heston ProcessModel through the
+    shared EulerScheme (full-truncation, the finmath
+    HestonModel.Scheme.FULL_TRUNCATION analog): the same surface as
+    ``MonteCarloBlackScholesModel``, so the ENTIRE equity product zoo
+    (European, digital, Asian, discrete barrier/lookback, variance
+    swap, Bermudan LS) prices under stochastic volatility unchanged.
+    ``get_asset_values`` gathers the full [dates, paths] matrix in ONE
+    jitted program (the tunnel transfer rule); asset_index 1 exposes
+    the variance path (no transform)."""
+
+    def __init__(self, time_discretization: TimeDiscretization,
+                 num_paths: int, model, seed: int = 3141,
+                 brownian=None):
+        from .brownian_motion import BrownianMotion
+        if isinstance(model, HestonParams):
+            model = HestonModel(model)
+        self.model = model
+        self.brownian = brownian or BrownianMotion(
+            time_discretization, 2, num_paths, seed)
+        self.process = EulerScheme(model, self.brownian)
+
+    def get_asset_value(self, time: float,
+                        asset_index: int = 0) -> RandomVariableTPU:
+        ti = self.process.time_discretization.get_time_index(time)
+        if ti < 0:
+            raise ValueError(f"time {time} not on the simulation grid")
+        return self.process.get_process_value(ti, asset_index)
+
+    def get_asset_values(self, times, asset_index: int = 0) -> jax.Array:
+        from ..ops.precise_math import gather_component_exp32
+        td = self.process.time_discretization
+        idx = []
+        for t in times:
+            ti = td.get_time_index(t)
+            if ti < 0:
+                raise ValueError(f"time {t} not on the simulation grid")
+            idx.append(ti)
+        states = self.process._lazy_states()
+        if asset_index == 0:
+            return gather_component_exp32(states, jnp.asarray(idx),
+                                          jnp.asarray(0))
+        return states[jnp.asarray(idx), asset_index]
+
+    def get_numeraire(self, time: float) -> RandomVariableTPU:
+        return self.model.numeraire(time)
+
+    def get_number_of_paths(self) -> int:
+        return self.process.get_number_of_paths()
+
+    getAssetValue = get_asset_value
+    getNumeraire = get_numeraire
+    getNumberOfPaths = get_number_of_paths
 
 
 # ---------------------------------------------------------------------------
