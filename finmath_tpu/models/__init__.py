@@ -29,6 +29,12 @@ from .sabr import (
     sabr_lognormal_implied_volatility,
     sabr_normal_implied_volatility,
 )
+from .structured_products import (
+    ChooserOption,
+    CliquetOption,
+    CompoundOption,
+    ForwardStartOption,
+)
 from .hedging import (
     DeltaHedgedPortfolio,
     VarianceSwap,
@@ -125,6 +131,10 @@ __all__ = [
     "hw_bermudan_swaption_pde",
     "DeltaHedgedPortfolio",
     "VarianceSwap",
+    "ChooserOption",
+    "CliquetOption",
+    "CompoundOption",
+    "ForwardStartOption",
     "BachelierParams",
     "DisplacedLognormalParams",
     "bachelier_analytic_price",
