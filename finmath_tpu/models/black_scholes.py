@@ -82,12 +82,12 @@ class MonteCarloBlackScholesModel:
 
     def __init__(self, time_discretization: TimeDiscretization, num_paths: int,
                  model: BlackScholesModel, seed: int = 3141,
-                 brownian: BrownianMotion = None):
+                 brownian: BrownianMotion = None, mesh=None):
         self.model = model
         self.brownian = brownian or BrownianMotion(
             time_discretization, 1, num_paths, seed
         )
-        self.process = EulerScheme(model, self.brownian)
+        self.process = EulerScheme(model, self.brownian, mesh=mesh)
 
     def get_asset_value(self, time: float, asset_index: int = 0) -> RandomVariableTPU:
         ti = self.process.time_discretization.get_time_index(time)

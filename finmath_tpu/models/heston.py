@@ -397,14 +397,14 @@ class MonteCarloHestonModel:
 
     def __init__(self, time_discretization: TimeDiscretization,
                  num_paths: int, model, seed: int = 3141,
-                 brownian=None):
+                 brownian=None, mesh=None):
         from .brownian_motion import BrownianMotion
         if isinstance(model, HestonParams):
             model = HestonModel(model)
         self.model = model
         self.brownian = brownian or BrownianMotion(
             time_discretization, 2, num_paths, seed)
-        self.process = EulerScheme(model, self.brownian)
+        self.process = EulerScheme(model, self.brownian, mesh=mesh)
 
     def get_asset_value(self, time: float,
                         asset_index: int = 0) -> RandomVariableTPU:

@@ -128,12 +128,13 @@ class MonteCarloMultiAssetBlackScholesModel:
 
     def __init__(self, time_discretization: TimeDiscretization,
                  num_paths: int, model: MultiAssetBlackScholesModel,
-                 seed: int = 3141, brownian: BrownianMotion = None):
+                 seed: int = 3141, brownian: BrownianMotion = None,
+                 mesh=None):
         self.model = model
         self.brownian = brownian or BrownianMotion(
             time_discretization, model.get_number_of_factors(),
             num_paths, seed)
-        self.process = EulerScheme(model, self.brownian)
+        self.process = EulerScheme(model, self.brownian, mesh=mesh)
 
     def get_asset_value(self, time: float,
                         asset_index: int = 0) -> RandomVariableTPU:

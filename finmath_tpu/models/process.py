@@ -93,9 +93,11 @@ class EulerScheme:
     ``euler_scan`` directly for custom memory/recompute trade-offs.
     """
 
-    def __init__(self, model: ProcessModel, brownian: BrownianMotion):
+    def __init__(self, model: ProcessModel, brownian: BrownianMotion,
+                 mesh=None):
         self._model = model
         self._brownian = brownian
+        self._mesh = mesh
         self._states: Optional[jax.Array] = None
 
     @property
@@ -108,8 +110,28 @@ class EulerScheme:
             num_paths = self._brownian.get_number_of_paths()
             init = self._model.initial_state(num_paths)
             dts = jnp.asarray(td.get_step_sizes())
+            inc = self._brownian.increments
+            if self._mesh is not None:
+                # shard the PATH axis over the mesh: XLA's SPMD
+                # propagation then partitions the scan AND every
+                # downstream jitted product kernel (payoff reductions
+                # become automatic all-reduces over ICI) — no explicit
+                # shard_map needed for the embarrassingly-parallel
+                # equity workloads (the LMM engine's drift coupling is
+                # the case that does use shard_map, parallel/mesh.py)
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+                ax = self._mesh.axis_names[0]
+                if num_paths % self._mesh.devices.size:
+                    raise ValueError(
+                        f"num_paths {num_paths} must be divisible by "
+                        f"the mesh size {self._mesh.devices.size}")
+                inc = jax.device_put(
+                    inc, NamedSharding(self._mesh, P(None, None, ax)))
+                init = jax.device_put(
+                    init, NamedSharding(self._mesh, P(None, ax)))
             self._states = _euler_scan_jit(
-                self._model, init, self._brownian.increments, dts
+                self._model, init, inc, dts
             )
         return self._states
 
