@@ -196,6 +196,7 @@ def bench_stochvol_calibration(num_paths):
         lambda: setup.engine.residuals(p0),
         lambda: setup.engine.jacobian(p0),
         lambda: setup.engine.values(p0),  # rms19 targets go via values()
+        lambda: setup.engine.implied_vols(p0),  # gate/polish rms19 path
         lambda: sweep.residuals(p0),
         lambda: sweep.jacobian(p0),
         lambda: analytic.residuals(p0),

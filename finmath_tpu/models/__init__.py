@@ -35,6 +35,9 @@ from .structured_products import (
     CompoundOption,
     ForwardStartOption,
 )
+from .importance_sampling import (
+    mc_european_price_importance_sampled,
+)
 from .hedging import (
     DeltaHedgedPortfolio,
     VarianceSwap,

@@ -614,6 +614,7 @@ class LMMValuationEngine:
         self._jac_fn = self._wrap_public(self._build_residual_fn(),
                                          transform=jax.jacfwd)
         self._values_fn = self._wrap_public(self._build_values_fn())
+        self._implied_fn = self._wrap_public(self._build_implied_fn())
 
     # ------------------------------------------------------------------
     def _wrap_public(self, core, transform=None):
@@ -1186,6 +1187,14 @@ class LMMValuationEngine:
             return black_implied_vol_jnp(v, fwd0, strike, texp, ann0)
         raise ValueError(f"unknown value unit {unit}")
 
+    def _build_implied_fn(self):
+        values_fn = self._build_values_fn()
+
+        def implied(params, inc=None):
+            return self._quotes_from_values(values_fn(params, inc))
+
+        return implied
+
     def _build_residual_fn(self):
         values_fn = self._build_values_fn()
         target = jnp.asarray(self._target)
@@ -1208,9 +1217,13 @@ class LMMValuationEngine:
         """Model quotes in the product value unit, computed directly from
         the Monte-Carlo values (NOT by un-scaling the weighted residuals:
         a product legitimately de-weighted with weight=0 would turn that
-        into 0/0)."""
-        v = jnp.asarray(self.values(params))
-        return np.asarray(self._quotes_from_values(v))
+        into 0/0). ONE jitted program: the eager form ran the Newton
+        quote inversion op-by-op — each op a ~30 ms dispatch RTT through
+        the TPU tunnel, and its sub-programs compiled inside the
+        multistart's timed gate (part of a measured 13 s hole between
+        the stage windows of the 81,920-path bench row)."""
+        return np.asarray(self._implied_fn(
+            jnp.asarray(params, dtype=jnp.float64)))
 
     def residuals(self, params) -> np.ndarray:
         return np.asarray(self._residual_fn(jnp.asarray(params, dtype=jnp.float64)))
