@@ -1029,6 +1029,19 @@ def bench_exotics():
         "wall_ms": ms,
         "max_vol_dev_vs_hagan": float(np.abs(mc - hag).max())}
 
+    from finmath_tpu.models.analytic import black_scholes_option_value
+    from finmath_tpu.models.importance_sampling import (
+        mc_european_price_importance_sampled)
+    (vi, ei), ms = best_of(lambda: mc_european_price_importance_sampled(
+        13, 1_000_000, s0, r, sig, t, 3.0 * s0))
+    _, ep = mc_european_price_importance_sampled(
+        13, 1_000_000, s0, r, sig, t, 3.0 * s0, drift_shift=0.0)
+    out["importance_sampling_3x_1m"] = {
+        "wall_ms": ms,
+        "dev_vs_cf": vi - black_scholes_option_value(s0, r, sig, t,
+                                                     3.0 * s0),
+        "stderr_reduction": round(ep / ei, 1)}
+
     # Hull-White Bermudan swaption: fused LS vs the Crank-Nicolson PDE
     from finmath_tpu.models.curves import DiscountCurve
     from finmath_tpu.models.hedging import (
