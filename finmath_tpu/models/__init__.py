@@ -35,6 +35,10 @@ from .structured_products import (
     CompoundOption,
     ForwardStartOption,
 )
+from .mlmc import (
+    MLMCResult,
+    mlmc_lookback_call,
+)
 from .importance_sampling import (
     mc_european_price_importance_sampled,
 )
