@@ -30,10 +30,23 @@ from .sabr import (
     sabr_normal_implied_volatility,
 )
 from .structured_products import (
+    AutocallableNote,
     ChooserOption,
     CliquetOption,
     CompoundOption,
     ForwardStartOption,
+    autocallable_value_single_observation,
+)
+from .local_vol import (
+    DupireLocalVolSurface,
+    LocalVolatilityModel,
+    MonteCarloLocalVolModel,
+    SSVISurface,
+    local_variance,
+)
+from .tarn import (
+    TargetRedemptionNote,
+    inverse_floater_value,
 )
 from .mlmc import (
     MLMCResult,
@@ -138,7 +151,16 @@ __all__ = [
     "hw_bermudan_swaption_pde",
     "DeltaHedgedPortfolio",
     "VarianceSwap",
+    "AutocallableNote",
+    "autocallable_value_single_observation",
     "ChooserOption",
+    "DupireLocalVolSurface",
+    "LocalVolatilityModel",
+    "MonteCarloLocalVolModel",
+    "SSVISurface",
+    "local_variance",
+    "TargetRedemptionNote",
+    "inverse_floater_value",
     "CliquetOption",
     "CompoundOption",
     "ForwardStartOption",

@@ -297,6 +297,162 @@ class CompoundOption:
     getValue = get_value
 
 
+# ---------------------------------------------------------------------------
+# autocallables
+# ---------------------------------------------------------------------------
+
+def autocallable_value_single_observation(
+        initial_value: float, risk_free_rate: float, volatility: float,
+        observation_time: float, maturity: float,
+        autocall_level: float, coupon1: float,
+        final_coupon_level: float, final_coupon: float,
+        protection_level: float,
+        reference_level: Optional[float] = None) -> float:
+    """Exact value of the two-date express certificate under
+    Black-Scholes (the closed-form oracle for ``AutocallableNote``):
+    at t1, if S(t1) >= autocall_level redeem 1 + coupon1; else at T pay
+    (1 + final_coupon) if S(T) >= final_coupon_level, 1 if
+    protection_level <= S(T) < final_coupon_level, and
+    S(T)/reference_level below the protection barrier. All four legs
+    are lognormal rectangle probabilities through the framework's
+    Gauss-Legendre bivariate normal CDF (lower-tail convention;
+    correlation sqrt(t1/T) between the log-spots)."""
+    from .multi_asset import bivariate_normal_cdf
+    s, r, sig = initial_value, risk_free_rate, volatility
+    t1, t2 = float(observation_time), float(maturity)
+    ref = float(reference_level if reference_level is not None
+                else initial_value)
+    if not 0.0 < t1 < t2:
+        raise ValueError("need 0 < observation_time < maturity")
+    if not protection_level <= final_coupon_level:
+        raise ValueError("need protection_level <= final_coupon_level")
+
+    def h(level, t, shift=0.0):
+        # lower-tail standardization: P(S_t < level) = N(h(level, t))
+        return ((math.log(level / s) - (r - 0.5 * sig * sig) * t)
+                / (sig * math.sqrt(t)) - shift * sig * math.sqrt(t))
+
+    rho = math.sqrt(t1 / t2)
+    df1, df2 = math.exp(-r * t1), math.exp(-r * t2)
+    h1 = h(autocall_level, t1)
+    # leg 1: called at t1
+    value = (1.0 + coupon1) * df1 * (1.0 - _norm_cdf(h1))
+    # leg 2: alive, S_T >= final_coupon_level
+    p_alive_above = _norm_cdf(h1) - bivariate_normal_cdf(
+        h1, h(final_coupon_level, t2), rho)
+    value += (1.0 + final_coupon) * df2 * p_alive_above
+    # leg 3: alive, protection <= S_T < final_coupon_level
+    p_mid = (bivariate_normal_cdf(h1, h(final_coupon_level, t2), rho)
+             - bivariate_normal_cdf(h1, h(protection_level, t2), rho))
+    value += df2 * p_mid
+    # leg 4: alive, S_T < protection — pay S_T / ref (share-measure shift)
+    e_s = s * math.exp(r * t2) * bivariate_normal_cdf(
+        h(autocall_level, t1, shift=1.0),
+        h(protection_level, t2, shift=1.0), rho)
+    value += df2 * e_s / ref
+    return value
+
+
+@partial(jax.jit, static_argnums=(8, 9))
+def _autocall_kernel(assets, dfs, autocall_levels, coupon_levels, coupons,
+                     protection_level, ref_level, notional,
+                     memory: bool, num_dates: int):
+    """Unrolled branchless sweep over the (static, small) observation
+    schedule. Carries alive mask + unpaid-memory accumulator per path;
+    ONE fused program, ONE packed (value, stderr) transfer."""
+    paths = assets.shape[1]
+    alive = jnp.ones((paths,), dtype=assets.dtype)
+    mem = jnp.zeros((paths,), dtype=assets.dtype)
+    acc = jnp.zeros((paths,), dtype=ACC_DTYPE)
+    for i in range(num_dates):
+        s_i = assets[i]
+        coup_hit = (s_i >= coupon_levels[i]).astype(assets.dtype)
+        pay_c = alive * coup_hit * (coupons[i] + mem)
+        if memory:
+            mem = jnp.where(coup_hit > 0.0, 0.0, mem + coupons[i])
+        if i < num_dates - 1:
+            call_hit = (s_i >= autocall_levels[i]).astype(assets.dtype)
+            pay = pay_c + alive * call_hit
+            alive = alive * (1.0 - call_hit)
+        else:
+            principal = jnp.where(
+                s_i >= protection_level, 1.0, s_i / ref_level)
+            pay = pay_c + alive * principal
+        acc = acc + dfs[i] * pay.astype(ACC_DTYPE)
+    return _mean_and_stderr(acc * notional)
+
+
+class AutocallableNote:
+    """Autocallable (express / Phoenix) certificate on any equity
+    facade — the flagship retail structured product; finmath-lib users
+    compose it through the RandomVariable API on a
+    ``MonteCarloAssetModel`` (the payoff the reference's broken
+    ``choose`` op blocked on its device class).
+
+    On each observation date t_i before maturity: if
+    S(t_i) >= autocall_levels[i], the note redeems at notional plus the
+    date's coupon. A coupon (Phoenix style) is paid whenever
+    S(t_i) >= coupon_levels[i] while the note is alive —
+    with ``memory=True`` missed coupons accumulate and pay on the next
+    coupon event. At maturity, if never called: notional back above
+    ``protection_level``, ``S_T / reference_level`` participation below
+    it (short down-and-in put), plus the final coupon condition.
+
+    The express certificate (no separate coupon barrier) is
+    ``coupon_levels == autocall_levels`` with ``memory=False``; its
+    two-date case has the exact closed form
+    ``autocallable_value_single_observation`` used as oracle."""
+
+    def __init__(self, observation_dates: Sequence[float],
+                 autocall_levels: Sequence[float],
+                 coupons: Sequence[float],
+                 protection_level: float,
+                 coupon_levels: Optional[Sequence[float]] = None,
+                 reference_level: Optional[float] = None,
+                 memory: bool = False, notional: float = 1.0):
+        self.dates = [float(t) for t in observation_dates]
+        if (sorted(self.dates) != self.dates or len(self.dates) < 2
+                or self.dates[0] <= 0.0):
+            raise ValueError(
+                "observation_dates must be ascending, positive, and "
+                "include the maturity (>= 2 dates)")
+        m = len(self.dates)
+        self.autocall_levels = [float(x) for x in autocall_levels]
+        self.coupons = [float(x) for x in coupons]
+        self.coupon_levels = ([float(x) for x in coupon_levels]
+                              if coupon_levels is not None
+                              else list(self.autocall_levels))
+        if not (len(self.autocall_levels) == len(self.coupons)
+                == len(self.coupon_levels) == m):
+            raise ValueError("schedule arrays must match the dates")
+        self.protection_level = float(protection_level)
+        self.reference_level = reference_level
+        self.memory = bool(memory)
+        self.notional = float(notional)
+
+    def get_value_and_error(self, model) -> tuple:
+        from .equity_products import _spot_of
+        assets = model.get_asset_values(self.dates)
+        dfs = _deterministic_dfs(model, self.dates)
+        ref = (self.reference_level if self.reference_level is not None
+               else _spot_of(model))
+        out = np.asarray(_autocall_kernel(
+            assets, jnp.asarray(dfs, dtype=ACC_DTYPE),
+            jnp.asarray(self.autocall_levels, dtype=FLOAT_DTYPE),
+            jnp.asarray(self.coupon_levels, dtype=FLOAT_DTYPE),
+            jnp.asarray(self.coupons, dtype=FLOAT_DTYPE),
+            jnp.asarray(self.protection_level, dtype=FLOAT_DTYPE),
+            jnp.asarray(ref, dtype=FLOAT_DTYPE),
+            jnp.asarray(self.notional, dtype=ACC_DTYPE),
+            self.memory, len(self.dates)))
+        return float(out[0]), float(out[1])
+
+    def get_value(self, model) -> float:
+        return self.get_value_and_error(model)[0]
+
+    getValue = get_value
+
+
 class ChooserOption:
     """Simple chooser: at ``choice_time`` the holder takes the call or
     the put with the same strike/maturity (valued in closed form

@@ -15,6 +15,8 @@ from finmath_tpu.models.black_scholes import (
 )
 from finmath_tpu.models.heston import HestonParams, MonteCarloHestonModel
 from finmath_tpu.models.structured_products import (
+    AutocallableNote,
+    autocallable_value_single_observation,
     ChooserOption,
     CliquetOption,
     CompoundOption,
@@ -158,3 +160,101 @@ class TestChooser:
     def test_validation(self):
         with pytest.raises(ValueError):
             ChooserOption(T, T, 100.0)
+
+
+class TestAutocallable:
+    def test_two_date_express_matches_closed_form(self, sim):
+        # single pre-maturity observation at 0.5: exact bivariate form
+        note = AutocallableNote(
+            observation_dates=[0.5, T],
+            autocall_levels=[105.0, 100.0],
+            coupons=[0.05, 0.08],
+            protection_level=70.0)
+        v, e = note.get_value_and_error(sim)
+        an = autocallable_value_single_observation(
+            S0, R, SIG, 0.5, T, autocall_level=105.0, coupon1=0.05,
+            final_coupon_level=100.0, final_coupon=0.08,
+            protection_level=70.0)
+        assert abs(v - an) < 4 * e + 1e-4
+
+    def test_memory_dominates_no_memory(self, sim):
+        dates = [0.2, 0.4, 0.6, T]
+        kwargs = dict(
+            observation_dates=dates,
+            autocall_levels=[110.0] * 4,
+            coupon_levels=[90.0] * 4,
+            coupons=[0.02] * 4,
+            protection_level=60.0)
+        v_mem, _ = AutocallableNote(memory=True, **kwargs) \
+            .get_value_and_error(sim)
+        v_no, _ = AutocallableNote(memory=False, **kwargs) \
+            .get_value_and_error(sim)
+        assert v_mem >= v_no - 1e-9
+
+    def test_same_stream_numpy_reimplementation(self, sim):
+        # independent eager numpy assembly on the SAME asset matrix
+        dates = [0.2, 0.4, 0.6, T]
+        ac = [108.0, 106.0, 104.0, 1e18]
+        cl = [85.0, 85.0, 85.0, 85.0]
+        cp = [0.03, 0.03, 0.03, 0.05]
+        prot, ref = 65.0, S0
+        note = AutocallableNote(dates, ac, cp, prot, coupon_levels=cl,
+                                memory=True)
+        v, _ = note.get_value_and_error(sim)
+
+        assets = np.asarray(sim.get_asset_values(dates), dtype=np.float64)
+        dfs = np.exp(-R * np.asarray(dates))
+        alive = np.ones(assets.shape[1])
+        mem = np.zeros(assets.shape[1])
+        acc = np.zeros(assets.shape[1])
+        for i in range(4):
+            s_i = assets[i]
+            hit = (s_i >= cl[i]).astype(np.float64)
+            acc += dfs[i] * alive * hit * (cp[i] + mem)
+            mem = np.where(hit > 0, 0.0, mem + cp[i])
+            if i < 3:
+                call = (s_i >= ac[i]).astype(np.float64)
+                acc += dfs[i] * alive * call
+                alive *= 1.0 - call
+            else:
+                acc += dfs[i] * alive * np.where(s_i >= prot, 1.0,
+                                                 s_i / ref)
+        ref_value = acc.mean()
+        # the kernel's coupon/memory leg assembles in f32 (path dtype)
+        # before the f64 collection cast: a few f32 ULPs of slack
+        assert abs(v - ref_value) < 1e-7 * max(1.0, abs(ref_value))
+
+    def test_full_protection_floors_at_bond(self, sim):
+        # protection at 0 never loses principal -> value >= df(T)
+        note = AutocallableNote([0.5, T], [1e18, 1e18], [0.0, 0.0],
+                                protection_level=0.0)
+        v, _ = note.get_value_and_error(sim)
+        assert v >= math.exp(-R * T) - 1e-4
+
+    def test_deep_barrier_autocalls_immediately(self, sim):
+        # autocall level far below spot: certain call at t1
+        note = AutocallableNote([0.2, T], [1e-6, 100.0], [0.04, 0.0],
+                                protection_level=50.0)
+        v, _ = note.get_value_and_error(sim)
+        assert abs(v - 1.04 * math.exp(-R * 0.2)) < 1e-6
+
+    def test_runs_under_heston_and_local_vol(self):
+        from finmath_tpu.models.local_vol import (
+            LocalVolatilityModel,
+            MonteCarloLocalVolModel,
+            SSVISurface,
+        )
+        td = TimeDiscretization(initial=0.0, num_steps=20, step=0.05)
+        surf = SSVISurface(0.25, 0.22, 2.0, -0.5, 0.4)
+        lv = MonteCarloLocalVolModel(
+            td, 20_000, LocalVolatilityModel(S0, R, surf, td), seed=5)
+        note = AutocallableNote([0.25, 0.5, 0.75, 1.0],
+                                [105.0] * 4, [0.02] * 4, 60.0)
+        v, _ = note.get_value_and_error(lv)
+        assert 0.7 < v < 1.2
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            AutocallableNote([T], [100.0], [0.1], 50.0)
+        with pytest.raises(ValueError):
+            AutocallableNote([0.5, T], [100.0], [0.1, 0.1], 50.0)
