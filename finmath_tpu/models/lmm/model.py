@@ -396,6 +396,17 @@ class LMMValuationEngine:
         self.model = model
         self.num_paths = int(num_paths)
         self.num_factors = int(num_factors)
+        cov_factors = getattr(model.covariance, "num_factors", None)
+        if cov_factors is not None and int(cov_factors) != self.num_factors:
+            # lam [n, F_cov, paths] against dW [F_engine, paths] would
+            # silently BROADCAST when F_engine == 1, collapsing the factor
+            # structure into sum_f lambda_f * dW_1 (measured: an ATM caplet
+            # priced 19% low under a 2-factor correlation) — make the
+            # mismatch loud instead
+            raise ValueError(
+                f"engine num_factors={self.num_factors} but the covariance "
+                f"model has {cov_factors} factors; they must match (the "
+                "factor reduction lives in the correlation model)")
         self.seed = int(seed)
         self.mesh = mesh
         self.path_axis = path_axis

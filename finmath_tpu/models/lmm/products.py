@@ -22,10 +22,14 @@ class CapFloor:
 
     def __init__(self, model: LIBORMarketModelTPU, first_index: int,
                  last_index: int, strike: float, is_cap: bool = True,
-                 num_paths: int = 10_000, num_factors: int = 1,
+                 num_paths: int = 10_000, num_factors: int = None,
                  seed: int = 31415):
         if not (1 <= first_index < last_index <= model.num_libors):
             raise ValueError("invalid period range")
+        if num_factors is None:
+            # must match the covariance's factor reduction (the engine
+            # rejects a mismatch); default to it instead of guessing 1
+            num_factors = getattr(model.covariance, "num_factors", 1)
         self.model = model
         self.first_index = int(first_index)
         self.last_index = int(last_index)
