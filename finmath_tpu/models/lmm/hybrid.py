@@ -1,0 +1,274 @@
+"""Hybrid asset-LMM: equity assets under stochastic LIBOR-market-model
+rates — finmath-lib's ``net.finmath.montecarlo.hybridassets``
+(``HybridAssetLIBORMarketModelFromModels``; sources unavailable offline,
+semantics reconstructed from the public API: an asset simulation whose
+drift is pinned to the interest-rate model's numeraire so that
+discounted assets are martingales under the rate model's measure).
+
+TPU-first construction, three ideas:
+
+1. **The rate sweep is reused, not reimplemented.** The class wraps the
+   valuation engine's jitted Euler step (``LMMValuationEngine._build_sim``)
+   and extends the scan carry with the equity state — every LMM feature
+   (measures, state spaces, covariance wrappers, stochastic volatility,
+   predictor-corrector, injected increments) composes for free.
+2. **Correlation by key reconstruction, not by communication.** The
+   engine draws its factor normals from counter-based Threefry keys
+   ``fold_in(PRNGKey(seed), step)``. The equity leg re-draws the SAME
+   keys to obtain the factor normals for its correlated innovation —
+   a pure recomputation that XLA common-subexpression-eliminates into
+   zero extra work. No plumbing through the engine, no extra HBM.
+3. **Exact discrete martingale + log-space f64 carry.** The asset is
+   evolved as S(t) = N(t) * exp(q-adjusted exponential martingale):
+   ``logS += log(N_new/N_old) + sigma dW - (sigma^2/2 + q) dt``, so
+   E[S(T)/N(T)] = S0 e^{-qT} holds exactly by construction under ANY
+   correlation with the rate factors. The accumulation runs in the
+   collect dtype (f64): a ~40-step multiplicative f32 accrual on TPU
+   acquires a systematic transcendental bias (the measured 63-sigma
+   hedge-simulation effect, BENCHMARKS.md) that log-space f64 avoids.
+
+Asset i's Brownian:  dW_i = rho_i . dW_factors
+                            + sqrt(1 - |rho_i|^2) * (C_eq dZ)_i
+with ``rho_i`` the [F] rate-factor correlation row and C_eq the Cholesky
+factor of the IDIOSYNCRATIC asset-asset correlation (assets also
+co-move through the shared rate factors).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .model import LIBORMarketModelTPU, LMMValuationEngine, SwaptionProduct
+
+__all__ = ["HybridAssetLMM"]
+
+
+class HybridAssetLMM:
+    """K equity assets jointly simulated with a LIBOR market model.
+
+    ``rate_correlations``: [K] (correlation of each asset to rate factor
+    0) or [K, F]; rows must have |rho| <= 1. ``equity_correlation``:
+    [K, K] correlation of the idiosyncratic parts (default identity).
+    ``observation_indices``: tenor indices where assets are observed
+    (default: every index in [1, n-1]).
+
+    ``simulate(params)`` -> ``(assets [E, K, paths], numeraires
+    [E, paths])`` in the collect dtype (f64), one jitted program.
+    """
+
+    def __init__(self, model: LIBORMarketModelTPU,
+                 equity_initial_values: Sequence[float],
+                 equity_volatilities: Sequence[float],
+                 rate_correlations=None,
+                 equity_correlation=None,
+                 dividend_yields=None,
+                 observation_indices: Optional[Sequence[int]] = None,
+                 num_paths: int = 50_000, num_factors: int = 1,
+                 seed: int = 31415, antithetic: bool = False,
+                 increments=None):
+        s0 = np.asarray(equity_initial_values, dtype=np.float64)
+        sig = np.asarray(equity_volatilities, dtype=np.float64)
+        if s0.ndim != 1 or sig.shape != s0.shape:
+            raise ValueError("need matching 1-d initial values/volatilities")
+        if np.any(s0 <= 0.0) or np.any(sig < 0.0):
+            raise ValueError("need positive spots and nonnegative vols")
+        K = len(s0)
+        F = int(num_factors)
+        if rate_correlations is None:
+            rho = np.zeros((K, F), dtype=np.float64)
+        else:
+            rho = np.asarray(rate_correlations, dtype=np.float64)
+            if rho.ndim == 1:
+                if rho.shape != (K,):
+                    raise ValueError("1-d rate_correlations must be [K]")
+                rho = np.concatenate(
+                    [rho[:, None], np.zeros((K, F - 1))], axis=1)
+            if rho.shape != (K, F):
+                raise ValueError(f"rate_correlations must be [K]={K} or "
+                                 f"[K, F]=[{K}, {F}]")
+        rho_sq = np.sum(rho * rho, axis=1)
+        if np.any(rho_sq > 1.0 + 1e-12):
+            raise ValueError("each asset's |rate correlation| must be <= 1")
+        if equity_correlation is None:
+            chol = np.eye(K)
+        else:
+            ceq = np.asarray(equity_correlation, dtype=np.float64)
+            if ceq.shape != (K, K):
+                raise ValueError("equity_correlation must be [K, K]")
+            try:
+                chol = np.linalg.cholesky(ceq)
+            except np.linalg.LinAlgError:
+                raise ValueError("equity_correlation is not positive "
+                                 "definite") from None
+        q = (np.zeros(K) if dividend_yields is None
+             else np.asarray(dividend_yields, dtype=np.float64))
+        if q.shape != (K,):
+            raise ValueError("dividend_yields must be [K]")
+
+        n = model.num_libors
+        if observation_indices is None:
+            observation_indices = range(1, n)
+        obs = sorted({int(e) for e in observation_indices})
+        if not obs or obs[0] < 1 or obs[-1] > n - 1:
+            raise ValueError(f"observation indices must lie in [1, {n - 1}]")
+        self.observation_indices = obs
+        self.model = model
+        self.num_assets = K
+
+        # event scaffolding (the exposure-profile trick): placeholder
+        # single-period products make the engine stop at exactly the
+        # observation dates; their payoffs are never evaluated.
+        products = [SwaptionProduct(e, 1, 0.0, 0.0, value_unit="VALUE")
+                    for e in obs]
+        self.engine = LMMValuationEngine(
+            model, products, num_paths, num_factors, seed=seed,
+            scan_mode="segmented", antithetic=antithetic,
+            increments=increments)
+        eng = self.engine
+        self._s0 = s0
+        self._sig = sig
+        self._rho = rho
+        self._c_idio = np.sqrt(np.maximum(1.0 - rho_sq, 0.0))
+        self._chol = chol
+        self._q = q
+
+        vdt = eng.collect_dtype
+        paths = eng._local_paths
+        sim = model.sim_times
+        dts = np.asarray(sim[1:] - sim[:-1], dtype=np.float64)
+        sqrt_dts = np.sqrt(dts)
+        base_key = jax.random.PRNGKey(eng.seed)
+        # distinct key path from every engine stream: one extra fold
+        eq_base = jax.random.fold_in(base_key, 987654321)
+        nf = eng._n_rng_factors
+        inc_np = eng._inc_np
+        rho_j = jnp.asarray(rho, dtype=vdt)                    # [K, F]
+        c_j = jnp.asarray(self._c_idio, dtype=vdt)             # [K]
+        chol_j = jnp.asarray(chol, dtype=vdt)                  # [K, K]
+        sig_j = jnp.asarray(sig, dtype=vdt)                    # [K]
+        drift_j = jnp.asarray(-(0.5 * sig * sig + q), dtype=vdt)
+        dts_j = jnp.asarray(dts, dtype=vdt)
+        sqrt_dts_j = jnp.asarray(sqrt_dts, dtype=vdt)
+        logs0 = jnp.log(jnp.asarray(s0, dtype=vdt))
+
+        def factor_normals(s):
+            """The engine's unit factor normals at step s — identical
+            keys, so XLA CSEs this against the rate sweep's own draw."""
+            if inc_np is not None:
+                return (jnp.asarray(inc_np)[s, :F].astype(vdt)
+                        / sqrt_dts_j[s])
+            if eng.antithetic:
+                z = jax.random.normal(jax.random.fold_in(base_key, s),
+                                      (nf, paths // 2), dtype=jnp.float32)
+                z = jnp.concatenate([z, -z], axis=1)
+            else:
+                z = jax.random.normal(jax.random.fold_in(base_key, s),
+                                      (nf, paths), dtype=jnp.float32)
+            return z[:F].astype(vdt)
+
+        def equity_normals(s):
+            if eng.antithetic:
+                z = jax.random.normal(jax.random.fold_in(eq_base, s),
+                                      (K, paths // 2), dtype=jnp.float32)
+                z = jnp.concatenate([z, -z], axis=1)
+            else:
+                z = jax.random.normal(jax.random.fold_in(eq_base, s),
+                                      (K, paths), dtype=jnp.float32)
+            return z.astype(vdt)
+
+        def build(params):
+            sim_step, carry0 = eng._build_sim(
+                params, jnp.asarray(inc_np) if inc_np is not None else None)
+
+            def hyb_step(carry, s):
+                rate_carry, logS = carry
+                _, N_old, _ = rate_carry
+                rate_carry = sim_step(rate_carry, s)
+                _, N_new, _ = rate_carry
+                z_f = factor_normals(s)                        # [F, paths]
+                z_e = equity_normals(s)                        # [K, paths]
+                dw_unit = (rho_j @ z_f
+                           + c_j[:, None] * (chol_j @ z_e))    # [K, paths]
+                logS = (logS
+                        + jnp.log(N_new / N_old)[None, :]
+                        + sig_j[:, None] * dw_unit * sqrt_dts_j[s]
+                        + drift_j[:, None] * dts_j[s])
+                return (rate_carry, logS), None
+
+            logS = jnp.broadcast_to(logs0[:, None], (K, paths)).astype(vdt)
+            carry = (carry0, logS)
+            assets, numeraires = [], []
+            prev = 0
+            for s_e in eng._event_steps_np:
+                s_e = int(s_e)
+                if s_e > prev:
+                    carry, _ = jax.lax.scan(hyb_step, carry,
+                                            jnp.arange(prev, s_e))
+                    prev = s_e
+                (L, N, V), logS_now = carry
+                assets.append(jnp.exp(logS_now))
+                numeraires.append(N)
+            return jnp.stack(assets), jnp.stack(numeraires)
+
+        self._simulate = jax.jit(build)
+
+    # ------------------------------------------------------------------
+    def simulate(self, params):
+        """(assets [E, K, paths], numeraires [E, paths]); observation e
+        sees the state at tenor time T_{obs[e]}, before that date's
+        accrual (the engine's collection convention)."""
+        return self._simulate(jnp.asarray(params))
+
+    def _discount_adjustments(self, numeraires):
+        """finmath's deterministic numeraire adjustment E[1/N] -> df per
+        observation date (identity when the model disables it)."""
+        obs_times = np.asarray(
+            [self.model.tenor_times[e] for e in self.observation_indices])
+        dfs = np.asarray(
+            self.model.discount_curve.get_discount_factor(obs_times))
+        inv_n = jnp.mean(1.0 / numeraires, axis=1)             # [E]
+        if self.model.use_numeraire_adjustment:
+            return jnp.asarray(dfs) / inv_n
+        return jnp.ones_like(inv_n)
+
+    def european_option_value(self, params, expiry_index: int, strike: float,
+                              asset_index: int = 0, is_call: bool = True):
+        """(value, standard error) of a European equity option under
+        stochastic rates: N(0) E[(S - K)^+ / N(T)], with the model's
+        numeraire adjustment. One jitted program per signature."""
+        ev = self.observation_indices.index(int(expiry_index))
+        assets, numeraires = self.simulate(params)
+        adj = self._discount_adjustments(numeraires)
+        s_t = assets[ev, asset_index]
+        if is_call:
+            pay = jnp.maximum(s_t - strike, 0.0)
+        else:
+            pay = jnp.maximum(strike - s_t, 0.0)
+        disc = pay / numeraires[ev] * adj[ev]
+        m = jnp.mean(disc)
+        se = jnp.std(disc) / np.sqrt(disc.shape[0])
+        return float(m), float(se)
+
+    def forward_value(self, params, expiry_index: int, asset_index: int = 0):
+        """Raw E[S(T)/N(T)] — the exact-martingale diagnostic: equals
+        S0 e^{-qT} by construction (no numeraire adjustment)."""
+        ev = self.observation_indices.index(int(expiry_index))
+        assets, numeraires = self.simulate(params)
+        disc = assets[ev, asset_index] / numeraires[ev]
+        m = jnp.mean(disc)
+        se = jnp.std(disc) / np.sqrt(disc.shape[0])
+        return float(m), float(se)
+
+    def martingale_errors(self, params) -> np.ndarray:
+        """[E, K] relative deviations of E[S/N] from S0 e^{-qT}."""
+        assets, numeraires = self.simulate(params)
+        disc = jnp.mean(assets / numeraires[:, None, :], axis=2)  # [E, K]
+        obs_times = np.asarray(
+            [self.model.tenor_times[e] for e in self.observation_indices])
+        target = self._s0[None, :] * np.exp(
+            -self._q[None, :] * obs_times[:, None])
+        return np.asarray(disc) / target - 1.0

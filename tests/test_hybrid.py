@@ -1,0 +1,192 @@
+"""Hybrid asset-LMM tests (finmath_tpu/models/lmm/hybrid.py).
+
+Oracles: the exact discrete martingale E[S/N] = S0 e^{-qT} (holds by
+construction at ANY correlation), the deterministic-rate limit (zero
+LMM vol -> Black-Scholes with the curve forward), the frozen-curve
+lognormal approximation under stochastic rates (total variance
+sigma_S^2 T + int sigma_P^2 + 2 rho sigma_S int sigma_P), and the
+common-random-numbers correlation ordering."""
+
+import math
+
+import numpy as np
+import pytest
+
+from finmath_tpu.models.analytic import black_formula
+from finmath_tpu.models.caps import (
+    CapletVolatilityCurve,
+    LIBORVolatilityModelFromCapletCurve,
+)
+from finmath_tpu.models.curves import DiscountCurve, ForwardCurve
+from finmath_tpu.models.lmm.covariance import (
+    LIBORCorrelationModelExponentialDecay,
+    LIBORCovarianceModelFromVolatilityAndCorrelation,
+)
+from finmath_tpu.models.lmm.hybrid import HybridAssetLMM
+from finmath_tpu.models.lmm.model import LIBORMarketModelTPU
+from finmath_tpu.models.time_discretization import TimeDiscretization
+
+PERIOD = 0.5
+N_STEPS = 10  # 5Y tenor grid
+SIGMA_L = 0.40
+PILLARS = [0.5, 1.0, 2.0, 3.0, 5.0]
+ZEROS = [0.045, 0.047, 0.050, 0.051, 0.052]
+DC = DiscountCurve(PILLARS, list(np.exp(-np.array(ZEROS) * np.array(PILLARS))))
+FC = ForwardCurve(DC, payment_offset=PERIOD)
+TD = TimeDiscretization(initial=0.0, num_steps=N_STEPS, step=PERIOD)
+P0 = np.zeros(0)
+
+
+def build_model(sigma_l=SIGMA_L, num_factors=1):
+    curve = CapletVolatilityCurve([TD.get_last_time()], [sigma_l])
+    vm = LIBORVolatilityModelFromCapletCurve(TD, TD, curve)
+    cov = LIBORCovarianceModelFromVolatilityAndCorrelation(
+        vm, LIBORCorrelationModelExponentialDecay(TD, num_factors))
+    return LIBORMarketModelTPU(TD, FC, DC, cov, measure="spot",
+                               state_space="lognormal")
+
+
+def build_hybrid(model=None, rho=0.0, sigma_s=0.20, s0=100.0, q=0.0,
+                 num_paths=100_000, seed=11, **kw):
+    model = model or build_model()
+    return HybridAssetLMM(model, [s0], [sigma_s], rate_correlations=[rho],
+                          dividend_yields=[q], num_paths=num_paths,
+                          num_factors=1, seed=seed, antithetic=True, **kw)
+
+
+def bond_vol_profile(expiry_index):
+    """Frozen-curve log-vol of P(t, T_e) per simulation step (1-factor
+    lognormal LMM): sigma_P(t) = sum_{j=eta(t)}^{e-1} delta L_j(0)
+    sigma_L / (1 + delta L_j(0))."""
+    out = []
+    for s in range(expiry_index):
+        t = TD.get_time(s)
+        g = 0.0
+        for j in range(expiry_index):
+            if TD.get_time(j) >= t - 1e-12 and j >= 1:
+                L = float(FC.get_forward(TD.get_time(j)))
+                g += PERIOD * L * SIGMA_L / (1.0 + PERIOD * L)
+        out.append(g)
+    return np.asarray(out)
+
+
+class TestMartingale:
+    def test_discounted_asset_is_martingale_any_correlation(self):
+        for rho in (0.0, 0.6):
+            h = build_hybrid(rho=rho, num_paths=80_000)
+            errs = h.martingale_errors(P0)
+            assert np.max(np.abs(errs)) < 0.01, (rho, errs)
+
+    def test_dividend_yield_shifts_the_forward(self):
+        q = 0.03
+        h = build_hybrid(q=q, num_paths=80_000)
+        e = 6
+        v, se = h.forward_value(P0, e)
+        t = TD.get_time(e)
+        assert abs(v - 100.0 * math.exp(-q * t)) < 4 * se + 0.02
+
+
+class TestDeterministicRateLimit:
+    def test_zero_rate_vol_is_black_scholes(self):
+        model = build_model(sigma_l=1e-12)
+        h = build_hybrid(model=model, sigma_s=0.25, num_paths=120_000)
+        e, K = 6, 105.0
+        t = TD.get_time(e)
+        df = float(DC.get_discount_factor(t))
+        v, se = h.european_option_value(P0, e, K)
+        an = black_formula(100.0 / df, K, 0.25, t, payoff_unit=df)
+        assert abs(v - an) < 4 * se + 1e-3 * an
+
+
+class TestStochasticRates:
+    def test_frozen_curve_variance_approximation(self):
+        """Call under stochastic rates ~ Black with total variance
+        sigma_S^2 T + int sigma_P^2 dt + 2 rho sigma_S int sigma_P dt."""
+        e, K, t = 6, 105.0, TD.get_time(6)
+        df = float(DC.get_discount_factor(t))
+        sig_p = bond_vol_profile(e)
+        for rho in (-0.5, 0.5):
+            h = build_hybrid(rho=rho, num_paths=200_000)
+            v, se = h.european_option_value(P0, e, K)
+            var = (0.20 ** 2 * t + PERIOD * np.sum(sig_p ** 2)
+                   + 2.0 * rho * 0.20 * PERIOD * np.sum(sig_p))
+            an = black_formula(100.0 / df, K, math.sqrt(var / t), t,
+                               payoff_unit=df)
+            assert abs(v - an) < 0.025 * an + 4 * se, (rho, v, an)
+
+    def test_correlation_ordering_common_random_numbers(self):
+        # same seed => same z's; only the mixing changes. Positive
+        # equity-rate correlation RAISES the T-forward variance of S
+        # (bond and rates move oppositely), so call values are ordered.
+        e, K = 6, 105.0
+        vals = []
+        for rho in (-0.7, 0.0, 0.7):
+            h = build_hybrid(rho=rho, num_paths=60_000, seed=5)
+            vals.append(h.european_option_value(P0, e, K)[0])
+        assert vals[0] < vals[1] < vals[2]
+
+    def test_put_call_parity_under_stochastic_rates(self):
+        h = build_hybrid(rho=0.4, num_paths=80_000)
+        e, K = 6, 100.0
+        t = TD.get_time(e)
+        c, se_c = h.european_option_value(P0, e, K, is_call=True)
+        p, se_p = h.european_option_value(P0, e, K, is_call=False)
+        fwd, _ = h.forward_value(P0, e)
+        df = float(DC.get_discount_factor(t))
+        # c - p = E[(S-K)/N] = fwd - K df (raw martingale + bond leg;
+        # numeraire adjustment cancels only approximately -> 4 sigma)
+        lhs = c - p
+        rhs = fwd - K * df
+        assert abs(lhs - rhs) < 4 * (se_c + se_p) + 5e-3
+
+
+class TestMultiAsset:
+    def test_idiosyncratic_correlation_and_vol_ordering(self):
+        model = build_model()
+        h = HybridAssetLMM(model, [100.0, 100.0], [0.15, 0.30],
+                           rate_correlations=[0.2, 0.2],
+                           equity_correlation=[[1.0, 0.5], [0.5, 1.0]],
+                           num_paths=60_000, num_factors=1, seed=3,
+                           antithetic=True)
+        e, K = 6, 100.0
+        v_lo, _ = h.european_option_value(P0, e, K, asset_index=0)
+        v_hi, _ = h.european_option_value(P0, e, K, asset_index=1)
+        assert v_hi > v_lo  # higher vol, same forward
+        errs = h.martingale_errors(P0)
+        assert np.max(np.abs(errs)) < 0.015
+
+    def test_realized_asset_correlation(self):
+        # with zero rate correlation, terminal log-asset correlation
+        # must reproduce the idiosyncratic matrix
+        model = build_model(sigma_l=1e-12)
+        c = 0.65
+        h = HybridAssetLMM(model, [100.0, 100.0], [0.2, 0.2],
+                           equity_correlation=[[1.0, c], [c, 1.0]],
+                           num_paths=60_000, num_factors=1, seed=9,
+                           antithetic=True)
+        assets, _ = h.simulate(P0)
+        logs = np.log(np.asarray(assets[-1]))  # [K, paths]
+        got = np.corrcoef(logs)[0, 1]
+        assert abs(got - c) < 0.02
+
+    def test_validation(self):
+        model = build_model()
+        with pytest.raises(ValueError):
+            HybridAssetLMM(model, [100.0], [0.2], rate_correlations=[1.2])
+        with pytest.raises(ValueError):
+            HybridAssetLMM(model, [100.0, 100.0], [0.2, 0.2],
+                           equity_correlation=[[1.0, 2.0], [2.0, 1.0]])
+        with pytest.raises(ValueError):
+            HybridAssetLMM(model, [-1.0], [0.2])
+        with pytest.raises(ValueError):
+            HybridAssetLMM(model, [100.0], [0.2],
+                           observation_indices=[N_STEPS])
+
+
+class TestDeterminism:
+    def test_same_seed_same_value(self):
+        e, K = 4, 100.0
+        a = build_hybrid(rho=0.3, num_paths=20_000, seed=17)
+        b = build_hybrid(rho=0.3, num_paths=20_000, seed=17)
+        assert a.european_option_value(P0, e, K) == \
+            b.european_option_value(P0, e, K)
