@@ -48,6 +48,15 @@ from .tarn import (
     TargetRedemptionNote,
     inverse_floater_value,
 )
+from .caps import (
+    CapletVolatilityCurve,
+    LIBORVolatilityModelFromCapletCurve,
+    cap_value,
+    implied_flat_cap_volatility,
+    make_cap_schedule,
+    strip_caplet_surface,
+    strip_caplet_volatilities,
+)
 from .mlmc import (
     MLMCResult,
     mlmc_lookback_call,
@@ -161,6 +170,13 @@ __all__ = [
     "local_variance",
     "TargetRedemptionNote",
     "inverse_floater_value",
+    "CapletVolatilityCurve",
+    "LIBORVolatilityModelFromCapletCurve",
+    "cap_value",
+    "implied_flat_cap_volatility",
+    "make_cap_schedule",
+    "strip_caplet_surface",
+    "strip_caplet_volatilities",
     "CliquetOption",
     "CompoundOption",
     "ForwardStartOption",

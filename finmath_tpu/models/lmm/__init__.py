@@ -32,6 +32,7 @@ from .exposure import (
     mva_from_im_profile,
 )
 from .eager import eager_swaption_valuation
+from .hybrid import HybridAssetLMM
 
 __all__ = [
     "LIBORVolatilityModelPiecewiseConstant",
@@ -66,4 +67,5 @@ __all__ = [
     "fva_from_profile",
     "mva_from_im_profile",
     "eager_swaption_valuation",
+    "HybridAssetLMM",
 ]
