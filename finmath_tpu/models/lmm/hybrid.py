@@ -32,6 +32,23 @@ Asset i's Brownian:  dW_i = rho_i . dW_factors
 with ``rho_i`` the [F] rate-factor correlation row and C_eq the Cholesky
 factor of the IDIOSYNCRATIC asset-asset correlation (assets also
 co-move through the shared rate factors).
+
+FX and quanto composition (finmath-lib's cross-currency use of the
+hybrid stack, deterministic foreign rates):
+
+* An **FX rate** is a domestic tradable paying the foreign money-market
+  rate as a dividend: pass the foreign discount curve as the asset's
+  ``dividend_yields`` entry. The discrete martingale then telescopes to
+  E[FX(T)/N(T)] = FX0 * df_foreign(T) exactly — covered interest parity
+  by construction — and FX options price under stochastic domestic
+  rates (Garman-Kohlhagen in the deterministic limit).
+* A **quanto underlying** (foreign asset converted at a fixed rate) is
+  NOT a domestic tradable: pass its foreign funding curve as the
+  asset's ``growth_curves`` entry (replacing the numeraire growth with
+  the deterministic foreign accrual) and name its FX asset via
+  ``quanto_fx_indices`` — the classical quanto drift correction
+  ``-corr(S, FX) sigma_S sigma_FX dt`` is applied with the TOTAL
+  Brownian correlation (rate-factor part + idiosyncratic part).
 """
 
 from __future__ import annotations
@@ -56,6 +73,16 @@ class HybridAssetLMM:
     ``observation_indices``: tenor indices where assets are observed
     (default: every index in [1, n-1]).
 
+    ``dividend_yields``: per-asset continuous yield — a scalar, or a
+    DiscountCurve-like object (``get_discount_factor``) whose forward
+    rates are paid out (an FX rate's foreign curve). ``growth_curves``:
+    per-asset ``None`` (domestic tradable: grows at the numeraire rate)
+    or a curve (quanto underlying: grows deterministically at that
+    curve's forward rates instead). ``quanto_fx_indices``: per-asset
+    ``None`` or the index of the converting FX asset — applies the
+    quanto drift correction; requires a growth curve on the asset and
+    a domestic-tradable FX asset.
+
     ``simulate(params)`` -> ``(assets [E, K, paths], numeraires
     [E, paths])`` in the collect dtype (f64), one jitted program.
     """
@@ -66,6 +93,8 @@ class HybridAssetLMM:
                  rate_correlations=None,
                  equity_correlation=None,
                  dividend_yields=None,
+                 growth_curves=None,
+                 quanto_fx_indices=None,
                  observation_indices: Optional[Sequence[int]] = None,
                  num_paths: int = 50_000, num_factors: int = 1,
                  seed: int = 31415, antithetic: bool = False,
@@ -104,10 +133,32 @@ class HybridAssetLMM:
             except np.linalg.LinAlgError:
                 raise ValueError("equity_correlation is not positive "
                                  "definite") from None
-        q = (np.zeros(K) if dividend_yields is None
-             else np.asarray(dividend_yields, dtype=np.float64))
-        if q.shape != (K,):
-            raise ValueError("dividend_yields must be [K]")
+        if dividend_yields is None:
+            dividend_yields = [0.0] * K
+        if len(dividend_yields) != K:
+            raise ValueError("dividend_yields must have one entry per asset")
+        if growth_curves is None:
+            growth_curves = [None] * K
+        if len(growth_curves) != K:
+            raise ValueError("growth_curves must have one entry per asset")
+        if quanto_fx_indices is None:
+            quanto_fx_indices = [None] * K
+        if len(quanto_fx_indices) != K:
+            raise ValueError("quanto_fx_indices must have one entry per "
+                             "asset")
+        for i, fx in enumerate(quanto_fx_indices):
+            if fx is None:
+                continue
+            if not (0 <= int(fx) < K) or int(fx) == i:
+                raise ValueError(f"asset {i}: quanto FX index {fx} invalid")
+            if growth_curves[i] is None:
+                raise ValueError(
+                    f"asset {i}: a quanto underlying needs a growth curve "
+                    "(it is not a domestic tradable)")
+            if growth_curves[int(fx)] is not None:
+                raise ValueError(
+                    f"asset {i}: its FX asset {fx} must be a domestic "
+                    "tradable (growth curve None)")
 
         n = model.num_libors
         if observation_indices is None:
@@ -134,13 +185,43 @@ class HybridAssetLMM:
         self._rho = rho
         self._c_idio = np.sqrt(np.maximum(1.0 - rho_sq, 0.0))
         self._chol = chol
-        self._q = q
 
         vdt = eng.collect_dtype
         paths = eng._local_paths
         sim = model.sim_times
         dts = np.asarray(sim[1:] - sim[:-1], dtype=np.float64)
         sqrt_dts = np.sqrt(dts)
+        S = len(dts)
+
+        def step_integral(curve, scalar_ok=True):
+            """[S] per-step integral of the curve's forward rate —
+            log df(t_s) - log df(t_{s+1}) — or scalar * dt."""
+            if curve is None:
+                return np.zeros(S)
+            if np.isscalar(curve) or isinstance(curve, (int, float)):
+                return float(curve) * dts
+            df = np.asarray(curve.get_discount_factor(sim), dtype=np.float64)
+            return np.log(df[:-1]) - np.log(df[1:])
+
+        dq_table = np.stack([step_integral(q) for q in dividend_yields])
+        carry_table = np.stack([step_integral(g) for g in growth_curves])
+        num_mask = np.asarray([1.0 if g is None else 0.0
+                               for g in growth_curves])
+        # total Brownian correlation between assets: shared rate factors
+        # plus the idiosyncratic block
+        corr_total = (rho @ rho.T
+                      + np.outer(self._c_idio, self._c_idio) * (chol @ chol.T))
+        quanto_corr = np.zeros(K)
+        for i, fx in enumerate(quanto_fx_indices):
+            if fx is not None:
+                fx = int(fx)
+                quanto_corr[i] = -corr_total[i, fx] * sig[i] * sig[fx]
+        # deterministic per-step log-drift: growth-curve accrual, minus
+        # dividends, minus the Ito term, plus the quanto correction
+        det_table = (carry_table - dq_table
+                     + (quanto_corr - 0.5 * sig * sig)[:, None] * dts[None, :])
+        self._dq_table = dq_table
+        self._num_mask = num_mask
         base_key = jax.random.PRNGKey(eng.seed)
         # distinct key path from every engine stream: one extra fold
         eq_base = jax.random.fold_in(base_key, 987654321)
@@ -150,8 +231,8 @@ class HybridAssetLMM:
         c_j = jnp.asarray(self._c_idio, dtype=vdt)             # [K]
         chol_j = jnp.asarray(chol, dtype=vdt)                  # [K, K]
         sig_j = jnp.asarray(sig, dtype=vdt)                    # [K]
-        drift_j = jnp.asarray(-(0.5 * sig * sig + q), dtype=vdt)
-        dts_j = jnp.asarray(dts, dtype=vdt)
+        det_j = jnp.asarray(det_table, dtype=vdt)              # [K, S]
+        mask_j = jnp.asarray(num_mask, dtype=vdt)              # [K]
         sqrt_dts_j = jnp.asarray(sqrt_dts, dtype=vdt)
         logs0 = jnp.log(jnp.asarray(s0, dtype=vdt))
 
@@ -194,9 +275,9 @@ class HybridAssetLMM:
                 dw_unit = (rho_j @ z_f
                            + c_j[:, None] * (chol_j @ z_e))    # [K, paths]
                 logS = (logS
-                        + jnp.log(N_new / N_old)[None, :]
-                        + sig_j[:, None] * dw_unit * sqrt_dts_j[s]
-                        + drift_j[:, None] * dts_j[s])
+                        + mask_j[:, None] * jnp.log(N_new / N_old)[None, :]
+                        + det_j[:, s][:, None]
+                        + sig_j[:, None] * dw_unit * sqrt_dts_j[s])
                 return (rate_carry, logS), None
 
             logS = jnp.broadcast_to(logs0[:, None], (K, paths)).astype(vdt)
@@ -253,9 +334,18 @@ class HybridAssetLMM:
         se = jnp.std(disc) / np.sqrt(disc.shape[0])
         return float(m), float(se)
 
+    def _dividend_discount(self, ev: int) -> np.ndarray:
+        """[K] exp(-cumulative dividend) at observation ordinal ``ev``
+        (collection happens before the event step, so the cumulative sum
+        runs over the steps strictly before it)."""
+        s_e = int(self.engine._event_steps_np[ev])
+        return np.exp(-np.sum(self._dq_table[:, :s_e], axis=1))
+
     def forward_value(self, params, expiry_index: int, asset_index: int = 0):
-        """Raw E[S(T)/N(T)] — the exact-martingale diagnostic: equals
-        S0 e^{-qT} by construction (no numeraire adjustment)."""
+        """Raw E[S(T)/N(T)] — the exact-martingale diagnostic for a
+        domestic tradable: equals S0 * df_dividend(T) by construction
+        (= FX0 * df_foreign(T), covered interest parity, when the asset
+        is an FX rate). No numeraire adjustment."""
         ev = self.observation_indices.index(int(expiry_index))
         assets, numeraires = self.simulate(params)
         disc = assets[ev, asset_index] / numeraires[ev]
@@ -264,11 +354,16 @@ class HybridAssetLMM:
         return float(m), float(se)
 
     def martingale_errors(self, params) -> np.ndarray:
-        """[E, K] relative deviations of E[S/N] from S0 e^{-qT}."""
+        """[E, K] relative deviations of E[S/N] from the exact target
+        S0 * df_dividend(T). Quanto (growth-curve) assets are excluded
+        (NaN columns): they are not domestic tradables, so S/N is not a
+        martingale for them by design."""
         assets, numeraires = self.simulate(params)
-        disc = jnp.mean(assets / numeraires[:, None, :], axis=2)  # [E, K]
-        obs_times = np.asarray(
-            [self.model.tenor_times[e] for e in self.observation_indices])
-        target = self._s0[None, :] * np.exp(
-            -self._q[None, :] * obs_times[:, None])
-        return np.asarray(disc) / target - 1.0
+        disc = np.asarray(
+            jnp.mean(assets / numeraires[:, None, :], axis=2))  # [E, K]
+        out = np.full_like(disc, np.nan)
+        for ev in range(disc.shape[0]):
+            target = self._s0 * self._dividend_discount(ev)
+            row = disc[ev] / target - 1.0
+            out[ev] = np.where(self._num_mask > 0, row, np.nan)
+        return out

@@ -190,3 +190,105 @@ class TestDeterminism:
         b = build_hybrid(rho=0.3, num_paths=20_000, seed=17)
         assert a.european_option_value(P0, e, K) == \
             b.european_option_value(P0, e, K)
+
+
+def flat_curve(rate, horizon=5.0, n=11):
+    t = np.linspace(0.0, horizon, n)
+    return DiscountCurve(list(t[1:]), list(np.exp(-rate * t[1:])))
+
+
+class TestFXAndQuanto:
+    R_F = 0.02
+
+    def test_covered_interest_parity_under_stochastic_rates(self):
+        # FX = domestic tradable paying the foreign curve as dividend:
+        # E[FX/N] = FX0 * df_foreign(T) exactly (telescoping martingale)
+        model = build_model()  # stochastic domestic rates, sigma_L = 0.40
+        fc_f = flat_curve(self.R_F)
+        h = HybridAssetLMM(model, [1.25], [0.10], rate_correlations=[0.3],
+                           dividend_yields=[fc_f], num_paths=80_000,
+                           num_factors=1, seed=21, antithetic=True)
+        e = 6
+        v, se = h.forward_value(P0, e)
+        t = TD.get_time(e)
+        assert abs(v - 1.25 * math.exp(-self.R_F * t)) < 4 * se + 1e-4
+
+    def test_garman_kohlhagen_in_deterministic_limit(self):
+        model = build_model(sigma_l=1e-12)
+        fc_f = flat_curve(self.R_F)
+        h = HybridAssetLMM(model, [1.25], [0.12], dividend_yields=[fc_f],
+                           num_paths=120_000, num_factors=1, seed=23,
+                           antithetic=True)
+        e, K = 6, 1.30
+        t = TD.get_time(e)
+        df_d = float(DC.get_discount_factor(t))
+        v, se = h.european_option_value(P0, e, K)
+        fwd = 1.25 * math.exp(-self.R_F * t) / df_d
+        an = black_formula(fwd, K, 0.12, t, payoff_unit=df_d)
+        assert abs(v - an) < 4 * se + 1e-3 * an
+
+    def test_quanto_closed_form(self):
+        # deterministic rates: quanto call = df_d * Black(F_q, K, sigma_S)
+        # with F_q = S0 exp((r_f - q - rho sigma_S sigma_X) T)
+        model = build_model(sigma_l=1e-12)
+        fc_f = flat_curve(self.R_F)
+        rho, sig_s, sig_x, q = 0.6, 0.25, 0.12, 0.01
+        h = HybridAssetLMM(
+            model, [1.25, 80.0], [sig_x, sig_s],
+            dividend_yields=[fc_f, q],
+            growth_curves=[None, fc_f],
+            quanto_fx_indices=[None, 0],
+            equity_correlation=[[1.0, rho], [rho, 1.0]],
+            num_paths=150_000, num_factors=1, seed=29, antithetic=True)
+        e, K = 6, 82.0
+        t = TD.get_time(e)
+        df_d = float(DC.get_discount_factor(t))
+        v, se = h.european_option_value(P0, e, K, asset_index=1)
+        f_q = 80.0 * math.exp((self.R_F - q - rho * sig_s * sig_x) * t)
+        an = black_formula(f_q, K, sig_s, t, payoff_unit=df_d)
+        assert abs(v - an) < 4 * se + 2e-3 * an
+
+    def test_quanto_correlation_sign_common_random_numbers(self):
+        model = build_model(sigma_l=1e-12)
+        fc_f = flat_curve(self.R_F)
+        vals = []
+        for rho in (-0.6, 0.0, 0.6):
+            h = HybridAssetLMM(
+                model, [1.25, 80.0], [0.12, 0.25],
+                dividend_yields=[fc_f, 0.0],
+                growth_curves=[None, fc_f],
+                quanto_fx_indices=[None, 0],
+                equity_correlation=[[1.0, rho], [rho, 1.0]],
+                num_paths=40_000, num_factors=1, seed=31, antithetic=True)
+            vals.append(h.european_option_value(P0, 6, 82.0,
+                                                asset_index=1)[0])
+        # positive equity-FX correlation LOWERS the quanto forward
+        assert vals[0] > vals[1] > vals[2]
+
+    def test_quanto_excluded_from_martingale_check(self):
+        model = build_model(sigma_l=1e-12)
+        fc_f = flat_curve(self.R_F)
+        h = HybridAssetLMM(
+            model, [1.25, 80.0], [0.12, 0.25],
+            dividend_yields=[fc_f, 0.0],
+            growth_curves=[None, fc_f],
+            quanto_fx_indices=[None, 0],
+            equity_correlation=[[1.0, 0.5], [0.5, 1.0]],
+            num_paths=30_000, num_factors=1, seed=3, antithetic=True)
+        errs = h.martingale_errors(P0)
+        assert np.all(np.isnan(errs[:, 1]))       # quanto: not a tradable
+        assert np.nanmax(np.abs(errs[:, 0])) < 0.02  # FX: exact martingale
+
+    def test_quanto_wiring_validation(self):
+        model = build_model()
+        fc_f = flat_curve(self.R_F)
+        with pytest.raises(ValueError, match="growth curve"):
+            HybridAssetLMM(model, [1.0, 80.0], [0.1, 0.2],
+                           quanto_fx_indices=[None, 0])
+        with pytest.raises(ValueError, match="domestic tradable"):
+            HybridAssetLMM(model, [1.0, 80.0], [0.1, 0.2],
+                           growth_curves=[fc_f, fc_f],
+                           quanto_fx_indices=[None, 0])
+        with pytest.raises(ValueError, match="invalid"):
+            HybridAssetLMM(model, [80.0], [0.2], growth_curves=[fc_f],
+                           quanto_fx_indices=[0])
