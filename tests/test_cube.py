@@ -175,3 +175,94 @@ class TestSwaptionCube:
         sm = self.build().get_smile(5.0, 10.0)
         k = 1.2 * S0
         assert abs(sm.put(k) - (sm.call(k) - (sm.forward - k))) < 1e-15
+
+
+class TestCMSSpreadOption:
+    """Gaussian-copula CMS spread options (CMSSpreadOptionPricer)."""
+
+    @staticmethod
+    def _legs(vol1=0.22, vol2=0.25, tenor2=2.0):
+        # leg 1: the module-level 10Y underlying; leg 2: a 2Y underlying
+        pay2 = [EXPIRY + (i + 1) * DELTA for i in range(int(tenor2 / DELTA))]
+        a02 = swap_annuity(CURVE, pay2, [DELTA] * len(pay2))
+        s02 = float((CURVE.get_discount_factor(EXPIRY)
+                     - CURVE.get_discount_factor(pay2[-1])) / a02)
+        map2 = LinearTSRAnnuityMapping.from_curve(
+            CURVE, s02, pay2, payment_time=EXPIRY + DELTA,
+            period_length=DELTA)
+        smile1 = flat_smile(vol1)
+        smile2 = SwaptionSmile(forward=s02, expiry=EXPIRY,
+                               params=SABRParams(alpha=vol2, beta=1.0,
+                                                 rho=0.0, nu=0.0))
+        leg1 = CMSReplicationPricer(smile1, MAPPING, A0)
+        leg2 = CMSReplicationPricer(smile2, map2, a02)
+        return leg1, leg2
+
+    def _pricer(self, rho, **kw):
+        from finmath_tpu.models.cube import CMSSpreadOptionPricer
+        leg1, leg2 = self._legs(**kw)
+        df = float(CURVE.get_discount_factor(EXPIRY + DELTA))
+        return CMSSpreadOptionPricer(leg1, leg2, rho, df)
+
+    def test_marginals_reproduce_cms_rates(self):
+        p = self._pricer(0.5)
+        e1, e2 = p.forwards()
+        assert abs(e1 - p.legs[0].cms_rate()) < 2e-5
+        assert abs(e2 - p.legs[1].cms_rate()) < 2e-5
+
+    def test_cap_floor_parity(self):
+        p = self._pricer(0.3)
+        k = 0.002
+        cap = p.spread_option_value(k, is_cap=True)
+        floor = p.spread_option_value(k, is_cap=False)
+        e1, e2 = p.forwards()
+        # quadrature-accuracy parity: the copula rotation moves leg 2's
+        # effective nodes, so this holds to GH error, not machine eps
+        assert abs((cap - floor) - p.df * (e1 - e2 - k)) < 5e-5
+
+    def test_copula_matches_normal_approximation_mild_smile(self):
+        # lognormal at these vol levels is near-normal over the bulk:
+        # the copula and the Bachelier quote must agree to a few % of
+        # the value for an ATM-forward spread strike
+        p = self._pricer(0.6)
+        e1, e2 = p.forwards()
+        k = e1 - e2
+        v_cop = p.spread_option_value(k)
+        v_nrm = p.normal_approximation_value(k)
+        assert abs(v_cop - v_nrm) < 0.05 * v_nrm
+
+    def test_decreasing_in_correlation(self):
+        k = 0.0
+        vals = [self._pricer(r).spread_option_value(k)
+                for r in (-0.5, 0.0, 0.5, 0.9)]
+        assert all(a > b for a, b in zip(vals, vals[1:]))
+
+    def test_perfect_correlation_same_leg_degenerates(self):
+        # identical legs at rho ~ 1: the spread collapses to zero
+        from finmath_tpu.models.cube import CMSSpreadOptionPricer
+        leg1, _ = self._legs()
+        df = float(CURVE.get_discount_factor(EXPIRY + DELTA))
+        p = CMSSpreadOptionPricer(leg1, leg1, 0.9999, df)
+        atm_scale = p.legs[0].caplet_value(p.legs[0].smile.forward)
+        assert p.spread_option_value(0.0) < 0.02 * atm_scale
+
+    def test_zero_vol_leg_degenerates_to_cms_caplet(self):
+        # sigma2 -> 0: spread cap(K) = CMS caplet at strike K + F2,
+        # both expressed under the Tp measure
+        p = self._pricer(0.0, vol2=1e-4)
+        e1, e2 = p.forwards()
+        k = 0.003
+        v = p.spread_option_value(k)
+        # direct check against a 1-d quadrature on leg 1's marginal
+        # (same implied distribution, no copula)
+        u = 0.5 * (1.0 + np.array(np.polynomial.legendre.leggauss(400)[0]))
+        w = 0.5 * np.array(np.polynomial.legendre.leggauss(400)[1])
+        x1 = p._inverse_cdf(0, u)
+        oned = p.df * float(np.sum(w * np.maximum(x1 - e2 - k, 0.0)))
+        assert abs(v - oned) < 0.03 * oned + 1e-6
+
+    def test_validation(self):
+        from finmath_tpu.models.cube import CMSSpreadOptionPricer
+        leg1, leg2 = self._legs()
+        with pytest.raises(ValueError):
+            CMSSpreadOptionPricer(leg1, leg2, 1.0, 0.8)

@@ -154,3 +154,25 @@ class TestFacadeIntegration:
         s = flat_mc.get_asset_value(1.0)
         mean = s.get_average()
         assert abs(mean - S0 * math.exp(R)) < 0.5  # martingale drift
+
+
+class TestComposability:
+    def test_american_ls_over_local_vol_facade(self, flat_mc):
+        """The American LS engine composes with the local-vol facade:
+        the American put dominates the European and, with a flat
+        surface, stays within a few sigma of the CRR American price at
+        the term vol."""
+        from finmath_tpu.models.american import BermudanOption, crr_american_price
+        from finmath_tpu.models.analytic import black_scholes_option_value
+
+        mc = flat_mc
+        sig_term = math.sqrt(float(FLAT.theta(1.0)) / 1.0)
+        ex = [0.1 * i for i in range(1, 11)]  # on the 0.02 grid
+        am = BermudanOption(ex, 100.0, is_call=False)
+        v, e = am.get_value_and_error(mc)
+        eur = black_scholes_option_value(S0, R, sig_term, 1.0, 100.0,
+                                         is_call=False)
+        assert v > eur - 4 * e
+        crr = crr_american_price(S0, R, sig_term, 1.0, 100.0,
+                                 is_call=False, num_steps=2000)
+        assert abs(v - crr) < 4 * e + 0.01 * crr
