@@ -337,7 +337,6 @@ class CMSSpreadOptionPricer:
         lo, hi = leg.lb, leg.ub
         h = (hi - lo) / (8.0 * m)
         ks = np.linspace(lo + 2 * h, hi - 2 * h, m)
-        caps = np.asarray([leg.caplet_value(float(k)) for k in ks])
         # value of 1{S>k} paid at Tp = -d/dK caplet; CDF = 1 - digital/df
         dig = -(np.asarray([leg.caplet_value(float(k) + h) for k in ks])
                 - np.asarray([leg.caplet_value(float(k) - h) for k in ks])

@@ -32,7 +32,12 @@ from .exposure import (
     mva_from_im_profile,
 )
 from .eager import eager_swaption_valuation
-from .hybrid import HybridAssetLMM
+from .hybrid import (
+    EquityForwardTrade,
+    EquityOptionTrade,
+    HybridAssetLMM,
+    HybridExposureEngine,
+)
 
 __all__ = [
     "LIBORVolatilityModelPiecewiseConstant",
@@ -67,5 +72,8 @@ __all__ = [
     "fva_from_profile",
     "mva_from_im_profile",
     "eager_swaption_valuation",
+    "EquityForwardTrade",
+    "EquityOptionTrade",
     "HybridAssetLMM",
+    "HybridExposureEngine",
 ]

@@ -61,7 +61,12 @@ import numpy as np
 
 from .model import LIBORMarketModelTPU, LMMValuationEngine, SwaptionProduct
 
-__all__ = ["HybridAssetLMM"]
+__all__ = [
+    "EquityForwardTrade",
+    "EquityOptionTrade",
+    "HybridAssetLMM",
+    "HybridExposureEngine",
+]
 
 
 class HybridAssetLMM:
@@ -261,7 +266,9 @@ class HybridAssetLMM:
                                       (K, paths), dtype=jnp.float32)
             return z.astype(vdt)
 
-        def build(params):
+        deltas_j = jnp.asarray(model.deltas, dtype=vdt)        # [n]
+
+        def build(params, bond_maturities=()):
             sim_step, carry0 = eng._build_sim(
                 params, jnp.asarray(inc_np) if inc_np is not None else None)
 
@@ -282,9 +289,9 @@ class HybridAssetLMM:
 
             logS = jnp.broadcast_to(logs0[:, None], (K, paths)).astype(vdt)
             carry = (carry0, logS)
-            assets, numeraires = [], []
+            assets, numeraires, bonds = [], [], []
             prev = 0
-            for s_e in eng._event_steps_np:
+            for ev, s_e in enumerate(eng._event_steps_np):
                 s_e = int(s_e)
                 if s_e > prev:
                     carry, _ = jax.lax.scan(hyb_step, carry,
@@ -293,9 +300,26 @@ class HybridAssetLMM:
                 (L, N, V), logS_now = carry
                 assets.append(jnp.exp(logS_now))
                 numeraires.append(N)
-            return jnp.stack(assets), jnp.stack(numeraires)
+                if bond_maturities:
+                    e = obs[ev]
+                    row = []
+                    for m in bond_maturities:
+                        if m <= e:
+                            row.append(jnp.ones((paths,), dtype=vdt))
+                        else:
+                            # P(T_e, T_m) from the live forwards — static
+                            # slice, the event index is a python int
+                            acc = 1.0 + (deltas_j[e:m, None]
+                                         * L[e:m].astype(vdt))
+                            row.append(jnp.prod(1.0 / acc, axis=0))
+                    bonds.append(jnp.stack(row))
+            out = (jnp.stack(assets), jnp.stack(numeraires))
+            if bond_maturities:
+                return out + (jnp.stack(bonds),)
+            return out
 
-        self._simulate = jax.jit(build)
+        self._build = build  # un-jitted, composable inside larger programs
+        self._simulate = jax.jit(build, static_argnames=("bond_maturities",))
 
     # ------------------------------------------------------------------
     def simulate(self, params):
@@ -303,6 +327,27 @@ class HybridAssetLMM:
         sees the state at tenor time T_{obs[e]}, before that date's
         accrual (the engine's collection convention)."""
         return self._simulate(jnp.asarray(params))
+
+    def simulate_with_bonds(self, params, bond_maturity_indices):
+        """Like :meth:`simulate` plus ``bonds [E, M, paths]`` — the model
+        zero bonds P(T_obs, T_m) for each requested tenor index m,
+        computed from the live forwards at every observation (1.0 once
+        matured). The exposure engine's close-out leg."""
+        return self._simulate(jnp.asarray(params),
+                              bond_maturities=tuple(
+                                  int(m) for m in bond_maturity_indices))
+
+    def dividend_discount_between(self, e_from: int, e_to: int) -> np.ndarray:
+        """[K] exp(-integral of dividends) over [T_{e_from}, T_{e_to}]
+        (both tenor indices; the step sums match the collection
+        convention)."""
+        s0 = int(np.searchsorted(
+            np.asarray([float(t) for t in self.model.sim_times]),
+            self.model.tenor_times[e_from]))
+        s1 = int(np.searchsorted(
+            np.asarray([float(t) for t in self.model.sim_times]),
+            self.model.tenor_times[e_to]))
+        return np.exp(-np.sum(self._dq_table[:, s0:s1], axis=1))
 
     def _discount_adjustments(self, numeraires):
         """finmath's deterministic numeraire adjustment E[1/N] -> df per
@@ -367,3 +412,170 @@ class HybridAssetLMM:
             row = disc[ev] / target - 1.0
             out[ev] = np.where(self._num_mask > 0, row, np.nan)
         return out
+
+
+# ---------------------------------------------------------------------------
+# exposure / XVA on the hybrid: equity and FX portfolios under stochastic
+# rates (the equity-hybrid analog of lmm/exposure.py's swap engines)
+# ---------------------------------------------------------------------------
+
+class EquityForwardTrade:
+    """Forward on hybrid asset ``asset_index``: pays
+    ``notional * (S(T_m) - strike)`` at tenor index ``maturity_index``.
+    Close-out at an earlier observation T_e is EXACT in the simulated
+    state — ``notional * (S_e * df_div(T_e, T_m) - strike * P(T_e, T_m))``
+    with the model bond P from the live forwards — no regression, no
+    frozen curve. An FX forward is this trade on an FX asset."""
+
+    def __init__(self, asset_index: int, maturity_index: int, strike: float,
+                 notional: float = 1.0):
+        self.asset_index = int(asset_index)
+        self.maturity_index = int(maturity_index)
+        self.strike = float(strike)
+        self.notional = float(notional)
+
+
+class EquityOptionTrade:
+    """European option on a hybrid asset. Close-out values before expiry
+    are Longstaff-Schwartz conditional expectations of the discounted
+    payoff regressed on (S_e, P(T_e, T_m)) monomials up to
+    ``basis_degree`` — with a constant in the basis the regression
+    preserves the mean exactly, so the profile's ``forward_value``
+    martingale diagnostic stays valid (same convention as the swaption
+    exposure engine)."""
+
+    def __init__(self, asset_index: int, maturity_index: int, strike: float,
+                 is_call: bool = True, notional: float = 1.0,
+                 basis_degree: int = 2):
+        if basis_degree < 1:
+            raise ValueError("basis_degree must be >= 1")
+        self.asset_index = int(asset_index)
+        self.maturity_index = int(maturity_index)
+        self.strike = float(strike)
+        self.is_call = is_call
+        self.notional = float(notional)
+        self.basis_degree = int(basis_degree)
+
+
+class HybridExposureEngine:
+    """Netted EE/ENE/PFE profile of an equity/FX portfolio under
+    stochastic rates — the capability finmath's ExposureEstimator has
+    for rates products, extended to the hybrid: XVA on equity and FX
+    derivatives with WRONG-WAY RISK through the equity-rate correlation
+    (a deterministic-rate exposure model cannot see it).
+
+    Conventions follow ``lmm/exposure.py``: ``ee``/``ene`` discounted
+    to today with the model's numeraire adjustment, ``pfe`` quantiles
+    of the UNDISCOUNTED time-t netted value, ``forward_value`` the
+    martingale diagnostic E[V(t)/N(t)] (flat for forward-only sets)."""
+
+    def __init__(self, hybrid: HybridAssetLMM, trades,
+                 quantiles=(0.95,)):
+        trades = list(trades)
+        if not trades:
+            raise ValueError("need at least one trade")
+        obs = hybrid.observation_indices
+        for tr in trades:
+            if not isinstance(tr, (EquityForwardTrade, EquityOptionTrade)):
+                raise TypeError(f"unsupported trade {type(tr).__name__}")
+            if tr.maturity_index not in obs:
+                raise ValueError(
+                    f"trade maturity index {tr.maturity_index} must be an "
+                    "observation date of the hybrid")
+            if not (0 <= tr.asset_index < hybrid.num_assets):
+                raise ValueError(f"asset index {tr.asset_index} out of range")
+            if hybrid._num_mask[tr.asset_index] == 0.0:
+                raise ValueError(
+                    "exposure trades must reference domestic tradables "
+                    f"(asset {tr.asset_index} is a quanto underlying)")
+        self.hybrid = hybrid
+        self.trades = trades
+        self.quantiles = tuple(float(q) for q in quantiles)
+        self._maturities = tuple(sorted({tr.maturity_index
+                                         for tr in trades}))
+        self._profile_core = jax.jit(self._build_profile_core())
+
+    def _build_profile_core(self):
+        """ONE device program: simulate, assemble every trade's
+        pathwise close-out, net, reduce to [4 + Q, E] — the exposure
+        engine transfer contract (a [E, paths] pull through the tunnel
+        measured 2.8 s warm; this packs it into one E-length read,
+        ~50x less). Regressions run on-device through the f64-safe
+        normal-equation solver (jnp.linalg.lstsq has no f64 TPU path)."""
+        from ...ops.conditional_expectation import regression_fit
+
+        h = self.hybrid
+        obs = h.observation_indices
+        m_col = {m: j for j, m in enumerate(self._maturities)}
+        qs = jnp.asarray(self.quantiles)
+
+        def core(params):
+            assets, numeraires, bonds = h._build(params, self._maturities)
+            E, _, paths = assets.shape
+            netted = jnp.zeros((E, paths), dtype=assets.dtype)
+            for tr in self.trades:
+                m_ev = obs.index(tr.maturity_index)
+                if isinstance(tr, EquityForwardTrade):
+                    for ev, e in enumerate(obs):
+                        if e > tr.maturity_index:
+                            continue  # settled
+                        s_e = assets[ev, tr.asset_index]
+                        p_e = bonds[ev, m_col[tr.maturity_index]]
+                        dq = float(h.dividend_discount_between(
+                            e, tr.maturity_index)[tr.asset_index])
+                        netted = netted.at[ev].add(
+                            tr.notional * (s_e * dq - tr.strike * p_e))
+                else:
+                    s_m = assets[m_ev, tr.asset_index]
+                    if tr.is_call:
+                        pay = jnp.maximum(s_m - tr.strike, 0.0)
+                    else:
+                        pay = jnp.maximum(tr.strike - s_m, 0.0)
+                    y = pay / numeraires[m_ev]   # discounted payoff
+                    netted = netted.at[m_ev].add(tr.notional * pay)
+                    for ev, e in enumerate(obs):
+                        if e >= tr.maturity_index:
+                            continue
+                        s_e = assets[ev, tr.asset_index] / tr.strike
+                        p_e = bonds[ev, m_col[tr.maturity_index]]
+                        cols = [jnp.ones_like(s_e)]
+                        for d in range(1, tr.basis_degree + 1):
+                            cols.append(s_e ** d)
+                        cols.append(p_e)
+                        cols.append(s_e * p_e)
+                        X = jnp.stack(cols)              # [B, paths]
+                        beta = regression_fit(X, y)
+                        cond = beta @ X.astype(beta.dtype)
+                        netted = netted.at[ev].add(
+                            tr.notional * cond * numeraires[ev])
+                    del y
+            disc = netted / numeraires
+            stats = jnp.stack([
+                jnp.mean(jnp.maximum(disc, 0.0), axis=1),
+                jnp.mean(jnp.minimum(disc, 0.0), axis=1),
+                jnp.mean(disc, axis=1),
+                jnp.mean(1.0 / numeraires, axis=1),
+            ])                                            # [4, E]
+            pfe = jnp.quantile(netted, qs, axis=1)        # [Q, E]
+            return jnp.concatenate([stats, pfe])          # ONE transfer
+
+        return core
+
+    def profile(self, params):
+        from .exposure import ExposureProfile
+
+        h = self.hybrid
+        obs = h.observation_indices
+        packed = np.asarray(self._profile_core(jnp.asarray(params)))
+        ee_raw, ene_raw, fv_raw, inv_n = packed[:4]
+        times = np.asarray([h.model.tenor_times[e] for e in obs])
+        if h.model.use_numeraire_adjustment:
+            dfs = np.asarray(
+                h.model.discount_curve.get_discount_factor(times))
+            adj = dfs / inv_n
+        else:
+            adj = np.ones_like(inv_n)
+        pfe = {q: packed[4 + j] for j, q in enumerate(self.quantiles)}
+        return ExposureProfile(times=times, ee=adj * ee_raw,
+                               ene=adj * ene_raw,
+                               forward_value=adj * fv_raw, pfe=pfe)

@@ -292,3 +292,109 @@ class TestFXAndQuanto:
         with pytest.raises(ValueError, match="invalid"):
             HybridAssetLMM(model, [80.0], [0.2], growth_curves=[fc_f],
                            quanto_fx_indices=[0])
+
+
+class TestHybridExposure:
+    def _engine(self, trades, rho=0.3, sigma_l=SIGMA_L, num_paths=60_000,
+                seed=41, **hkw):
+        model = build_model(sigma_l=sigma_l)
+        h = HybridAssetLMM(model, [100.0], [0.20], rate_correlations=[rho],
+                           num_paths=num_paths, num_factors=1, seed=seed,
+                           antithetic=True, **hkw)
+        from finmath_tpu.models.lmm.hybrid import HybridExposureEngine
+        return HybridExposureEngine(h, trades, quantiles=(0.95,))
+
+    def test_forward_profile_martingale_and_identities(self):
+        from finmath_tpu.models.lmm.hybrid import EquityForwardTrade
+
+        eng = self._engine([EquityForwardTrade(0, 8, 100.0)])
+        prof = eng.profile(P0)
+        # E[V/N] flat = t0 value of the forward: S0 - K df(T_m) (exact
+        # martingale: both S/N and P(.,T_m)/N are tradables)
+        t_m = TD.get_time(8)
+        v0 = 100.0 - 100.0 * float(DC.get_discount_factor(t_m))
+        live = prof.times <= t_m + 1e-9
+        assert np.max(np.abs(prof.forward_value[live] - v0)) < 0.012 * 100.0
+        # EE + ENE = forward_value (exact decomposition, same paths)
+        assert np.allclose(prof.ee + prof.ene, prof.forward_value,
+                           atol=1e-10)
+        assert np.all(prof.ee >= 0.0) and np.all(prof.ene <= 0.0)
+        # exposure accumulates with horizon before maturity
+        live = prof.times <= t_m + 1e-9
+        assert prof.ee[live][-1] > prof.ee[live][0]
+        # after maturity the trade is settled
+        assert np.allclose(prof.ee[~live], 0.0)
+
+    def test_option_profile_mean_preserved_and_t0_value(self):
+        from finmath_tpu.models.lmm.hybrid import EquityOptionTrade
+
+        model = build_model()
+        h = HybridAssetLMM(model, [100.0], [0.20], rate_correlations=[0.3],
+                           num_paths=60_000, num_factors=1, seed=43,
+                           antithetic=True)
+        from finmath_tpu.models.lmm.hybrid import HybridExposureEngine
+        eng = HybridExposureEngine(h, [EquityOptionTrade(0, 6, 105.0)])
+        prof = eng.profile(P0)
+        v_opt, se = h.european_option_value(P0, 6, 105.0)
+        # at expiry the exposure IS the discounted option value
+        ev = h.observation_indices.index(6)
+        assert abs(prof.ee[ev] - v_opt) < 4 * se + 1e-3
+        # the LS regression preserves the mean -> forward_value flat up
+        # to expiry (option exposure is nonnegative: ee == forward_value)
+        fv_live = prof.forward_value[:ev + 1]
+        assert np.max(np.abs(fv_live - v_opt)) < 0.06 * v_opt + 4 * se
+        # regression close-outs cannot be negative by more than noise
+        assert np.min(prof.ene[:ev + 1]) > -0.05 * v_opt
+
+    def test_netting_long_short_cancels(self):
+        from finmath_tpu.models.lmm.hybrid import EquityForwardTrade
+
+        eng = self._engine([EquityForwardTrade(0, 8, 100.0, notional=1.0),
+                            EquityForwardTrade(0, 8, 100.0, notional=-1.0)])
+        prof = eng.profile(P0)
+        assert np.allclose(prof.ee, 0.0, atol=1e-12)
+        assert np.allclose(prof.pfe[0.95], 0.0, atol=1e-12)
+
+    def test_wrong_way_risk_through_correlation(self):
+        # an FX forward receivable vs a counterparty whose currency is
+        # the foreign one: positive rate correlation changes EPE — the
+        # deterministic-rate model sees NO effect. CRN comparison.
+        from finmath_tpu.models.lmm.hybrid import EquityForwardTrade
+        from finmath_tpu.models.lmm.exposure import cva_from_profile
+
+        tf = np.linspace(0, 5, 11)
+        fc_f = DiscountCurve(list(tf[1:]), list(np.exp(-0.02 * tf[1:])))
+        cvas = []
+        for rho in (-0.6, 0.6):
+            model = build_model()
+            h = HybridAssetLMM(model, [1.25], [0.10],
+                               rate_correlations=[rho],
+                               dividend_yields=[fc_f],
+                               num_paths=60_000, num_factors=1, seed=47,
+                               antithetic=True)
+            from finmath_tpu.models.lmm.hybrid import HybridExposureEngine
+            eng = HybridExposureEngine(
+                h, [EquityForwardTrade(0, 8, 1.20)])
+            prof = eng.profile(P0)
+            cvas.append(cva_from_profile(prof, hazard_rate=0.02))
+        assert cvas[0] != cvas[1]
+        assert all(c > 0.0 for c in cvas)
+
+    def test_validation(self):
+        from finmath_tpu.models.lmm.hybrid import (
+            EquityForwardTrade, HybridExposureEngine)
+
+        model = build_model()
+        tf = np.linspace(0, 5, 11)
+        fc_f = DiscountCurve(list(tf[1:]), list(np.exp(-0.02 * tf[1:])))
+        h = HybridAssetLMM(model, [1.25, 80.0], [0.12, 0.25],
+                           dividend_yields=[fc_f, 0.0],
+                           growth_curves=[None, fc_f],
+                           quanto_fx_indices=[None, 0],
+                           num_paths=4_000, num_factors=1)
+        with pytest.raises(ValueError, match="quanto"):
+            HybridExposureEngine(h, [EquityForwardTrade(1, 6, 80.0)])
+        with pytest.raises(ValueError, match="observation"):
+            HybridExposureEngine(h, [EquityForwardTrade(0, 10, 1.2)])
+        with pytest.raises(ValueError):
+            HybridExposureEngine(h, [])
