@@ -36,6 +36,7 @@ from .hybrid import (
     EquityForwardTrade,
     EquityOptionTrade,
     HybridAssetLMM,
+    HybridAutocallableNote,
     HybridExposureEngine,
 )
 
@@ -75,5 +76,6 @@ __all__ = [
     "EquityForwardTrade",
     "EquityOptionTrade",
     "HybridAssetLMM",
+    "HybridAutocallableNote",
     "HybridExposureEngine",
 ]

@@ -65,6 +65,7 @@ __all__ = [
     "EquityForwardTrade",
     "EquityOptionTrade",
     "HybridAssetLMM",
+    "HybridAutocallableNote",
     "HybridExposureEngine",
 ]
 
@@ -579,3 +580,94 @@ class HybridExposureEngine:
         return ExposureProfile(times=times, ee=adj * ee_raw,
                                ene=adj * ene_raw,
                                forward_value=adj * fv_raw, pfe=pfe)
+
+
+class HybridAutocallableNote:
+    """Autocallable certificate on a hybrid asset, discounted PATHWISE
+    by the stochastic numeraire — the equity-linked-note valuation a
+    deterministic-rate facade cannot do: coupon/redemption cash flows
+    arrive exactly when rates are correlated-high or -low, so the note
+    carries rate-vol and equity-rate-correlation risk that only shows
+    up under the joint simulation. Payoff conventions are identical to
+    ``models.structured_products.AutocallableNote`` (same express
+    closed form as the deterministic-limit oracle), with dates given as
+    tenor indices on the hybrid's observation grid and the model's
+    deterministic numeraire adjustment applied per payment date."""
+
+    def __init__(self, hybrid: HybridAssetLMM,
+                 observation_indices: Sequence[int],
+                 autocall_levels: Sequence[float],
+                 coupons: Sequence[float],
+                 protection_level: float,
+                 coupon_levels: Optional[Sequence[float]] = None,
+                 reference_level: Optional[float] = None,
+                 memory: bool = False, notional: float = 1.0,
+                 asset_index: int = 0):
+        evs = [int(e) for e in observation_indices]
+        if sorted(evs) != evs or len(evs) < 2:
+            raise ValueError("need >= 2 ascending observation indices")
+        missing = [e for e in evs if e not in hybrid.observation_indices]
+        if missing:
+            raise ValueError(
+                f"indices {missing} are not hybrid observation dates")
+        m = len(evs)
+        ac = [float(x) for x in autocall_levels]
+        cp = [float(x) for x in coupons]
+        cl = ([float(x) for x in coupon_levels]
+              if coupon_levels is not None else list(ac))
+        if not (len(ac) == len(cp) == len(cl) == m):
+            raise ValueError("schedule arrays must match the dates")
+        if not (0 <= int(asset_index) < hybrid.num_assets):
+            raise ValueError("asset index out of range")
+        if hybrid._num_mask[int(asset_index)] == 0.0:
+            raise ValueError("the underlying must be a domestic tradable")
+        self.hybrid = hybrid
+        ref = (float(reference_level) if reference_level is not None
+               else float(hybrid._s0[int(asset_index)]))
+        times = np.asarray([hybrid.model.tenor_times[e] for e in evs])
+        dfs = np.asarray(
+            hybrid.model.discount_curve.get_discount_factor(times))
+        row_of = {e: i for i, e in enumerate(hybrid.observation_indices)}
+        rows = [row_of[e] for e in evs]
+        use_adj = hybrid.model.use_numeraire_adjustment
+        ai = int(asset_index)
+        prot = float(protection_level)
+        notl = float(notional)
+        mem_flag = bool(memory)
+
+        def core(params):
+            assets, numeraires = self.hybrid._build(params)
+            paths = assets.shape[2]
+            alive = jnp.ones((paths,), dtype=assets.dtype)
+            mem = jnp.zeros((paths,), dtype=assets.dtype)
+            acc = jnp.zeros((paths,), dtype=assets.dtype)
+            for i, r in enumerate(rows):
+                s_i = assets[r, ai]
+                n_i = numeraires[r]
+                adj = (dfs[i] / jnp.mean(1.0 / n_i)) if use_adj else 1.0
+                coup_hit = (s_i >= cl[i]).astype(assets.dtype)
+                pay_c = alive * coup_hit * (cp[i] + mem)
+                if mem_flag:
+                    mem = jnp.where(coup_hit > 0.0, 0.0, mem + cp[i])
+                if i < len(rows) - 1:
+                    call_hit = (s_i >= ac[i]).astype(assets.dtype)
+                    pay = pay_c + alive * call_hit
+                    alive = alive * (1.0 - call_hit)
+                else:
+                    principal = jnp.where(s_i >= prot, 1.0, s_i / ref)
+                    pay = pay_c + alive * principal
+                acc = acc + adj * pay / n_i
+            acc = acc * notl
+            return jnp.stack([jnp.mean(acc),
+                              jnp.std(acc) / np.sqrt(acc.shape[0])])
+
+        self._core = jax.jit(core)
+
+    def get_value_and_error(self, params) -> tuple:
+        out = np.asarray(self._core(jnp.asarray(params)))
+        return float(out[0]), float(out[1])
+
+    def get_value(self, params) -> float:
+        return self.get_value_and_error(params)[0]
+
+    getValue = get_value
