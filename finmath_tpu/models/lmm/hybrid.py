@@ -104,7 +104,12 @@ class HybridAssetLMM:
                  observation_indices: Optional[Sequence[int]] = None,
                  num_paths: int = 50_000, num_factors: int = 1,
                  seed: int = 31415, antithetic: bool = False,
-                 increments=None):
+                 increments=None, mesh=None, path_axis: str = "paths"):
+        if mesh is not None and increments is not None:
+            raise NotImplementedError(
+                "meshed hybrid with injected increments is not wired "
+                "(the closure capture would replicate the full-path "
+                "array per device); use the engine's own stream")
         s0 = np.asarray(equity_initial_values, dtype=np.float64)
         sig = np.asarray(equity_volatilities, dtype=np.float64)
         if s0.ndim != 1 or sig.shape != s0.shape:
@@ -184,14 +189,18 @@ class HybridAssetLMM:
         self.engine = LMMValuationEngine(
             model, products, num_paths, num_factors, seed=seed,
             scan_mode="segmented", antithetic=antithetic,
-            increments=increments)
+            increments=increments, mesh=mesh, path_axis=path_axis)
         eng = self.engine
+        self.mesh = mesh
+        self.path_axis = path_axis
         self._s0 = s0
         self._sig = sig
         self._rho = rho
         self._c_idio = np.sqrt(np.maximum(1.0 - rho_sq, 0.0))
         self._chol = chol
 
+        mesh = self.mesh
+        path_axis = self.path_axis
         vdt = eng.collect_dtype
         paths = eng._local_paths
         sim = model.sim_times
@@ -242,28 +251,28 @@ class HybridAssetLMM:
         sqrt_dts_j = jnp.asarray(sqrt_dts, dtype=vdt)
         logs0 = jnp.log(jnp.asarray(s0, dtype=vdt))
 
-        def factor_normals(s):
+        def factor_normals(s, bk):
             """The engine's unit factor normals at step s — identical
             keys, so XLA CSEs this against the rate sweep's own draw."""
             if inc_np is not None:
                 return (jnp.asarray(inc_np)[s, :F].astype(vdt)
                         / sqrt_dts_j[s])
             if eng.antithetic:
-                z = jax.random.normal(jax.random.fold_in(base_key, s),
+                z = jax.random.normal(jax.random.fold_in(bk, s),
                                       (nf, paths // 2), dtype=jnp.float32)
                 z = jnp.concatenate([z, -z], axis=1)
             else:
-                z = jax.random.normal(jax.random.fold_in(base_key, s),
+                z = jax.random.normal(jax.random.fold_in(bk, s),
                                       (nf, paths), dtype=jnp.float32)
             return z[:F].astype(vdt)
 
-        def equity_normals(s):
+        def equity_normals(s, ek):
             if eng.antithetic:
-                z = jax.random.normal(jax.random.fold_in(eq_base, s),
+                z = jax.random.normal(jax.random.fold_in(ek, s),
                                       (K, paths // 2), dtype=jnp.float32)
                 z = jnp.concatenate([z, -z], axis=1)
             else:
-                z = jax.random.normal(jax.random.fold_in(eq_base, s),
+                z = jax.random.normal(jax.random.fold_in(ek, s),
                                       (K, paths), dtype=jnp.float32)
             return z.astype(vdt)
 
@@ -272,14 +281,23 @@ class HybridAssetLMM:
         def build(params, bond_maturities=()):
             sim_step, carry0 = eng._build_sim(
                 params, jnp.asarray(inc_np) if inc_np is not None else None)
+            bk, ek = base_key, eq_base
+            if mesh is not None:
+                # per-device streams matching the engine's own fold, so
+                # the re-drawn factor normals stay IDENTICAL to the rate
+                # sweep's (CSE); the idiosyncratic stream is
+                # device-distinct through the same fold
+                idx = jax.lax.axis_index(path_axis)
+                bk = jax.random.fold_in(bk, idx)
+                ek = jax.random.fold_in(ek, idx)
 
             def hyb_step(carry, s):
                 rate_carry, logS = carry
                 _, N_old, _ = rate_carry
                 rate_carry = sim_step(rate_carry, s)
                 _, N_new, _ = rate_carry
-                z_f = factor_normals(s)                        # [F, paths]
-                z_e = equity_normals(s)                        # [K, paths]
+                z_f = factor_normals(s, bk)                    # [F, paths]
+                z_e = equity_normals(s, ek)                    # [K, paths]
                 dw_unit = (rho_j @ z_f
                            + c_j[:, None] * (chol_j @ z_e))    # [K, paths]
                 logS = (logS
@@ -289,6 +307,10 @@ class HybridAssetLMM:
                 return (rate_carry, logS), None
 
             logS = jnp.broadcast_to(logs0[:, None], (K, paths)).astype(vdt)
+            if mesh is not None:
+                # replicated constant evolving device-varying (same
+                # convention as the engine's carries)
+                logS = jax.lax.pcast(logS, (path_axis,), to="varying")
             carry = (carry0, logS)
             assets, numeraires, bonds = [], [], []
             prev = 0
@@ -320,7 +342,28 @@ class HybridAssetLMM:
             return out
 
         self._build = build  # un-jitted, composable inside larger programs
-        self._simulate = jax.jit(build, static_argnames=("bond_maturities",))
+
+        def sim_callable(bond_maturities=()):
+            """The (possibly shard_mapped) simulation callable — used
+            directly by the exposure/autocallable cores so their whole
+            program composes with the mesh."""
+            bm = tuple(bond_maturities)
+            f = lambda p: build(p, bm)  # noqa: E731
+            if mesh is not None:
+                from jax.sharding import PartitionSpec as P
+
+                outs = [P(None, None, path_axis), P(None, path_axis)]
+                if bm:
+                    outs.append(P(None, None, path_axis))
+                f = jax.shard_map(f, mesh=mesh, in_specs=(P(),),
+                                  out_specs=tuple(outs))
+            return f
+
+        self._sim_callable = sim_callable
+        self._simulate = jax.jit(
+            lambda params, bond_maturities=():
+                sim_callable(bond_maturities)(params),
+            static_argnames=("bond_maturities",))
 
     # ------------------------------------------------------------------
     def simulate(self, params):
@@ -510,8 +553,10 @@ class HybridExposureEngine:
         m_col = {m: j for j, m in enumerate(self._maturities)}
         qs = jnp.asarray(self.quantiles)
 
+        sim = h._sim_callable(self._maturities)
+
         def core(params):
-            assets, numeraires, bonds = h._build(params, self._maturities)
+            assets, numeraires, bonds = sim(params)
             E, _, paths = assets.shape
             netted = jnp.zeros((E, paths), dtype=assets.dtype)
             for tr in self.trades:
@@ -635,8 +680,10 @@ class HybridAutocallableNote:
         notl = float(notional)
         mem_flag = bool(memory)
 
+        sim = hybrid._sim_callable(())
+
         def core(params):
-            assets, numeraires = self.hybrid._build(params)
+            assets, numeraires = sim(params)
             paths = assets.shape[2]
             alive = jnp.ones((paths,), dtype=assets.dtype)
             mem = jnp.zeros((paths,), dtype=assets.dtype)

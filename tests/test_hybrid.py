@@ -9,6 +9,7 @@ common-random-numbers correlation ordering."""
 
 import math
 
+import jax
 import numpy as np
 import pytest
 
@@ -480,3 +481,63 @@ class TestHybridAutocallable:
             HybridAutocallableNote(h, [1, 99], [1.0, 1.0], [0.0, 0.0], 0.6)
         with pytest.raises(ValueError):
             HybridAutocallableNote(h, [1, 2], [1.0], [0.0, 0.0], 0.6)
+
+
+class TestHybridMesh:
+    """Path-axis sharding of the hybrid over the 8-virtual-device mesh."""
+
+    @pytest.fixture(scope="class")
+    def mesh(self):
+        from jax.sharding import Mesh
+        devs = np.array(jax.devices()[:8])
+        if len(devs) < 8:
+            pytest.skip("needs 8 virtual devices")
+        return Mesh(devs, ("paths",))
+
+    def test_martingale_and_option_on_mesh(self, mesh):
+        h = HybridAssetLMM(build_model(), [100.0], [0.20],
+                           rate_correlations=[0.4], num_paths=64_000,
+                           num_factors=1, seed=11, antithetic=True,
+                           mesh=mesh)
+        errs = h.martingale_errors(P0)
+        assert np.nanmax(np.abs(errs)) < 0.02
+        v_m, se_m = h.european_option_value(P0, 6, 105.0)
+        h_u = HybridAssetLMM(build_model(), [100.0], [0.20],
+                             rate_correlations=[0.4], num_paths=64_000,
+                             num_factors=1, seed=11, antithetic=True)
+        v_u, se_u = h_u.european_option_value(P0, 6, 105.0)
+        # different per-device streams -> statistical agreement only
+        assert abs(v_m - v_u) < 4 * (se_m + se_u)
+
+    def test_exposure_profile_on_mesh(self, mesh):
+        from finmath_tpu.models.lmm.hybrid import (
+            EquityForwardTrade, EquityOptionTrade, HybridExposureEngine)
+
+        h = HybridAssetLMM(build_model(), [100.0], [0.20],
+                           rate_correlations=[0.3], num_paths=32_000,
+                           num_factors=1, seed=41, antithetic=True,
+                           mesh=mesh)
+        eng = HybridExposureEngine(h, [EquityForwardTrade(0, 8, 100.0),
+                                       EquityOptionTrade(0, 6, 110.0)])
+        prof = eng.profile(P0)
+        assert np.allclose(prof.ee + prof.ene, prof.forward_value,
+                           atol=1e-10)
+        assert np.all(np.isfinite(prof.ee)) and np.all(prof.ee >= 0.0)
+        # exposure accumulates with horizon while BOTH trades are live
+        # (after the option expires at index 6 the netting set sheds its
+        # option value and EE steps down — same shape as unmeshed)
+        t_exp = TD.get_time(6)
+        pre = prof.times <= t_exp - 1e-9
+        assert prof.ee[pre][-1] > prof.ee[pre][0]
+
+    def test_autocallable_on_mesh(self, mesh):
+        from finmath_tpu.models.lmm.hybrid import HybridAutocallableNote
+
+        h = HybridAssetLMM(build_model(), [100.0], [0.25],
+                           rate_correlations=[0.3], num_paths=32_000,
+                           num_factors=1, seed=53, antithetic=True,
+                           mesh=mesh)
+        note = HybridAutocallableNote(h, [1, 2], [105.0, 100.0],
+                                      [0.05, 0.08], 70.0)
+        v, e = note.get_value_and_error(P0)
+        assert 0.8 < v < 1.2 and e > 0.0
