@@ -1,0 +1,696 @@
+"""Credit layer: survival curves, CDS pricing and bootstrap, the CIR++
+stochastic default intensity, doubly-stochastic default simulation, and
+a wrong-way-risk CVA engine that simulates Hull-White rates and the
+CIR++ intensity JOINTLY with correlated Brownians.
+
+Capability map. The reference repo stops at equity/LMM workloads; its
+host library finmath-lib ships the credit machinery this module rebuilds
+TPU-first:
+
+* ``net.finmath.marketdata.model.curves.*`` survival-curve analogs and
+  the CDS bootstrap (finmath represents survival as a discount curve of
+  default-adjusted factors; here it is an explicit piecewise-constant
+  hazard object, the market-standard ISDA-style parameterization).
+* ``net.finmath.montecarlo.interestrate`` + intensity-based default
+  modelling (Brigo-Mercurio part III): lambda(t) = y(t) + psi(t) with
+  CIR y and psi absorbing the exact fit to the bootstrapped market
+  curve — the credit twin of Hull-White's alpha(t) curve fit
+  (``models/hull_white.py``).
+* The CVA/WWR layer extends the exposure subsystem
+  (``models/lmm/exposure.py``) from deterministic hazard rates to a
+  SIMULATED, rate-correlated intensity: CVA = (1-R) sum_i
+  E[ V+(t_i)/N(t_i) * (S(t_{i-1}) - S(t_i)) ] with pathwise conditional
+  survival S(t) = exp(-int lambda) — the doubly-stochastic
+  (conditional-independence) construction. rho != 0 produces wrong-way /
+  right-way risk; rho = 0 factorizes into the product of means, which
+  the same program reports as a cross-check.
+
+TPU-first design notes:
+
+* All curve/CDS/fit math is host float64 (microseconds, the oracle and
+  calibration layer), exactly like the LMM analytic engines.
+* The WWR engine is ONE jitted lax.scan: Hull-White (x, Y) advances by
+  its EXACT per-step Gaussian transition (no Euler bias; reuses the
+  hull_white step covariances), the CIR factor by full-truncation Euler
+  with static substeps, normals correlated per step as
+  z_credit = rho * z_rate + sqrt(1-rho^2) * z_idio.
+* The integrated hazard Lambda(t) is carried in float64: it accumulates
+  over every scan step, and TPU fast-f32 transcendentals have a
+  systematic few-ULP bias that compounds across steps (measured 63
+  sigma at 1M paths on the hedge cash account — BENCHMARKS.md); path
+  states stay f32.
+* The engine returns ONE stacked array (CVA, independent-CVA control,
+  per-bucket contributions, survival diagnostics): on the tunneled TPU
+  every separate device->host read costs a ~30 ms RTT.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.random_variable import ACC_DTYPE, FLOAT_DTYPE, RandomVariableTPU
+from .curves import DiscountCurve
+from .hull_white import HullWhiteModel, _b, _step_cov
+from .time_discretization import TimeDiscretization
+
+
+# ---------------------------------------------------------------------------
+# survival curve (piecewise-constant hazard)
+# ---------------------------------------------------------------------------
+
+class SurvivalCurve:
+    """Piecewise-constant hazard rates: lambda = hazards[i] on
+    [times[i], times[i+1]) with the last value extended to infinity.
+    Q(t) = exp(-int_0^t lambda) is continuous and strictly decreasing.
+    Host float64 throughout (curves parameterize models; per-path
+    arithmetic never touches them)."""
+
+    def __init__(self, hazard_times: Sequence[float],
+                 hazard_rates: Sequence[float], name: str = "survivalCurve"):
+        t = np.asarray(hazard_times, dtype=np.float64)
+        h = np.asarray(hazard_rates, dtype=np.float64)
+        if t.ndim != 1 or h.shape != t.shape or t.size == 0:
+            raise ValueError("hazard_times and hazard_rates must be equal-"
+                             "length 1-d sequences")
+        if t[0] != 0.0 or np.any(np.diff(t) <= 0):
+            raise ValueError("hazard_times must start at 0 and increase")
+        if np.any(h < 0):
+            raise ValueError("hazard rates must be nonnegative")
+        self.times = t
+        self.hazards = h
+        self.name = name
+        # cumulative hazard at the segment starts
+        seg = np.diff(t) * h[:-1]
+        self._cum = np.concatenate([[0.0], np.cumsum(seg)])
+
+    # ------------------------------------------------------------------
+    def cumulative_hazard(self, time) -> np.ndarray:
+        """int_0^t lambda(s) ds, vectorized over t."""
+        t = np.asarray(time, dtype=np.float64)
+        i = np.clip(np.searchsorted(self.times, t, side="right") - 1,
+                    0, self.times.size - 1)
+        return self._cum[i] + self.hazards[i] * (t - self.times[i])
+
+    def get_survival_probability(self, time) -> np.ndarray:
+        return np.exp(-self.cumulative_hazard(time))
+
+    def get_hazard_rate(self, time) -> np.ndarray:
+        t = np.asarray(time, dtype=np.float64)
+        i = np.clip(np.searchsorted(self.times, t, side="right") - 1,
+                    0, self.times.size - 1)
+        return self.hazards[i]
+
+    def default_probability(self, t0, t1) -> np.ndarray:
+        """P(t0 < tau <= t1) unconditionally = Q(t0) - Q(t1)."""
+        return (self.get_survival_probability(t0)
+                - self.get_survival_probability(t1))
+
+    getSurvivalProbability = get_survival_probability
+
+    def __repr__(self):
+        return f"SurvivalCurve({self.name}, segments={self.hazards.size})"
+
+
+# ---------------------------------------------------------------------------
+# CDS pricing (host f64 analytic layer)
+# ---------------------------------------------------------------------------
+
+def _cds_schedule(maturity: float, payment_interval: float) -> np.ndarray:
+    n = int(round(maturity / payment_interval))
+    if abs(n * payment_interval - maturity) > 1e-9 or n < 1:
+        raise ValueError(f"maturity {maturity} is not a whole number of "
+                         f"payment intervals {payment_interval}")
+    return np.arange(1, n + 1, dtype=np.float64) * payment_interval
+
+
+def cds_legs(discount_curve: DiscountCurve, survival_curve: SurvivalCurve,
+             maturity: float, recovery: float = 0.4,
+             payment_interval: float = 0.25):
+    """(protection_leg, rpv01) of a spot-start CDS per unit notional.
+
+    rpv01 (the premium leg per unit running spread) = sum_i delta_i
+    D(t_i) Q(t_i) + accrual-on-default sum_i (delta_i/2) D(t_i)
+    (Q(t_{i-1}) - Q(t_i)); protection = (1-R) sum_i D(t_i^mid)
+    (Q(t_{i-1}) - Q(t_i)) — the standard quarterly ISDA-style
+    discretization (default mid-period, accrual half-period)."""
+    if not 0.0 <= recovery < 1.0:
+        raise ValueError("recovery must be in [0, 1)")
+    pay = _cds_schedule(maturity, payment_interval)
+    grid = np.concatenate([[0.0], pay])
+    deltas = np.diff(grid)
+    q = survival_curve.get_survival_probability(grid)
+    dq = q[:-1] - q[1:]                       # P(default in bucket i)
+    df_pay = discount_curve.get_discount_factor(pay)
+    df_mid = discount_curve.get_discount_factor(0.5 * (grid[:-1] + grid[1:]))
+    rpv01 = float(np.sum(deltas * df_pay * q[1:])
+                  + np.sum(0.5 * deltas * df_pay * dq))
+    protection = float((1.0 - recovery) * np.sum(df_mid * dq))
+    return protection, rpv01
+
+
+def cds_par_spread(discount_curve: DiscountCurve,
+                   survival_curve: SurvivalCurve, maturity: float,
+                   recovery: float = 0.4,
+                   payment_interval: float = 0.25) -> float:
+    """Running spread that prices the CDS to zero."""
+    protection, rpv01 = cds_legs(discount_curve, survival_curve, maturity,
+                                 recovery, payment_interval)
+    return protection / rpv01
+
+
+def cds_value(discount_curve: DiscountCurve, survival_curve: SurvivalCurve,
+              maturity: float, spread: float, recovery: float = 0.4,
+              payment_interval: float = 0.25,
+              protection_buyer: bool = True) -> float:
+    """PV of a running-spread CDS (protection leg minus premium leg for
+    the protection buyer)."""
+    protection, rpv01 = cds_legs(discount_curve, survival_curve, maturity,
+                                 recovery, payment_interval)
+    v = protection - spread * rpv01
+    return v if protection_buyer else -v
+
+
+def bootstrap_survival_curve(discount_curve: DiscountCurve,
+                             maturities: Sequence[float],
+                             spreads: Sequence[float],
+                             recovery: float = 0.4,
+                             payment_interval: float = 0.25,
+                             name: str = "bootstrappedSurvival"
+                             ) -> SurvivalCurve:
+    """Strip a piecewise-constant hazard term structure from quoted CDS
+    par spreads, shortest maturity first: each quote pins the hazard on
+    [previous maturity, its maturity) by bisection so the quoted CDS
+    reprices to zero EXACTLY (the credit twin of the par-swap discount
+    bootstrap in ``models/curves.py``)."""
+    mats = np.asarray(maturities, dtype=np.float64)
+    sp = np.asarray(spreads, dtype=np.float64)
+    if mats.ndim != 1 or sp.shape != mats.shape or mats.size == 0:
+        raise ValueError("maturities and spreads must align")
+    if np.any(np.diff(mats) <= 0) or mats[0] <= 0:
+        raise ValueError("maturities must be positive and increasing")
+    times = [0.0]
+    hazards: list = []
+    for m, s in zip(mats, sp):
+        lo, hi = 0.0, 10.0
+
+        def value(h: float) -> float:
+            curve = SurvivalCurve(np.asarray(times),
+                                  np.asarray(hazards + [h]))
+            return cds_value(discount_curve, curve, float(m), float(s),
+                             recovery, payment_interval)
+
+        # protection-buyer value increases in the hazard; bisect
+        if value(lo) > 0.0:
+            raise ValueError(f"CDS quote {s} at {m}y implies negative "
+                             "hazard given the shorter quotes")
+        for _ in range(200):
+            mid = 0.5 * (lo + hi)
+            if value(mid) > 0.0:
+                hi = mid
+            else:
+                lo = mid
+            if hi - lo < 1e-15 * max(1.0, hi):
+                break
+        hazards.append(0.5 * (lo + hi))
+        times.append(float(m))
+    return SurvivalCurve(np.asarray(times[:-1]), np.asarray(hazards),
+                         name=name)
+
+
+# ---------------------------------------------------------------------------
+# CIR++ intensity model
+# ---------------------------------------------------------------------------
+
+def _cir_bond(kappa: float, theta: float, sigma: float, y0: float, t):
+    """E[exp(-int_0^t y ds)] for CIR dy = kappa(theta - y)dt
+    + sigma sqrt(y) dW — the closed-form affine 'bond' A e^{-B y0}
+    (Brigo-Mercurio 3.2.3)."""
+    t = np.asarray(t, dtype=np.float64)
+    h = math.sqrt(kappa * kappa + 2.0 * sigma * sigma)
+    eht = np.expm1(h * t)                      # e^{ht} - 1
+    denom = 2.0 * h + (kappa + h) * eht
+    a = np.power(2.0 * h * np.exp(0.5 * (kappa + h) * t) / denom,
+                 2.0 * kappa * theta / (sigma * sigma))
+    b = 2.0 * eht / denom
+    return a * np.exp(-b * y0)
+
+
+class CIRPPIntensityModel:
+    """Shifted CIR default intensity lambda(t) = y(t) + psi(t), with
+    ``dy = kappa (theta - y) dt + sigma sqrt(y) dW`` and psi the
+    deterministic shift that fits the model survival EXACTLY to the
+    market curve:  Q_mkt(t) = P_CIR(0, t) exp(-int_0^t psi)  =>
+    int psi = ln(P_CIR(0,t) / Q_mkt(t)).
+
+    The credit twin of Hull-White's alpha(t) curve fit; psi >= 0
+    (hence lambda >= 0 pathwise up to the CIR floor) iff the market
+    hazard dominates the CIR forward hazard — check with
+    ``min_psi_on_grid``."""
+
+    def __init__(self, survival_curve: SurvivalCurve, kappa: float,
+                 theta: float, sigma: float, y0: float):
+        if min(kappa, theta, sigma) <= 0 or y0 < 0:
+            raise ValueError("kappa/theta/sigma must be positive, y0 >= 0")
+        self.curve = survival_curve
+        self.kappa = float(kappa)
+        self.theta = float(theta)
+        self.sigma = float(sigma)
+        self.y0 = float(y0)
+
+    @property
+    def feller_satisfied(self) -> bool:
+        """2 kappa theta >= sigma^2 keeps the CIR factor strictly
+        positive (simulation uses full truncation either way)."""
+        return 2.0 * self.kappa * self.theta >= self.sigma * self.sigma
+
+    def cir_survival(self, t) -> np.ndarray:
+        return _cir_bond(self.kappa, self.theta, self.sigma, self.y0, t)
+
+    def psi_integral(self, t) -> np.ndarray:
+        """int_0^t psi(s) ds (exact, host f64)."""
+        q = self.curve.get_survival_probability(t)
+        return np.log(self.cir_survival(t)) - np.log(q)
+
+    def survival_probability(self, t) -> np.ndarray:
+        """Model survival — the market curve by construction."""
+        return self.curve.get_survival_probability(t)
+
+    def min_psi_on_grid(self, grid) -> float:
+        """min psi over the grid midpoints (finite-difference forward
+        hazards); negative means lambda can dip below zero there."""
+        g = np.asarray(grid, dtype=np.float64)
+        pi = self.psi_integral(g)
+        return float(np.min(np.diff(pi) / np.diff(g)))
+
+
+# ---------------------------------------------------------------------------
+# doubly-stochastic simulation of the CIR++ intensity
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _cir_scan(key, num_paths: int, substeps: int, antithetic: bool,
+              dts, kappa, theta, sigma, y0):
+    """Full-truncation Euler on the CIR factor with ``substeps``
+    sub-iterations per grid step; returns Lambda_y history
+    [steps+1, paths] (trapezoidal integral of y+, float64 carry) and the
+    terminal y. Normals are drawn per grid step as [substeps, paths]."""
+    half = num_paths // 2 if antithetic else num_paths
+
+    def step(carry, inp):
+        y, lam = carry
+        k, dt = inp
+        h = (dt / substeps).astype(FLOAT_DTYPE)
+        sq = jnp.sqrt(h)
+
+        def sub(carry2, kk):
+            y2, lam2 = carry2
+            z = jax.random.normal(kk, (half,), dtype=jnp.float32)
+            if antithetic:
+                z = jnp.concatenate([z, -z])
+            yp = jnp.maximum(y2, 0.0)
+            y_new = (y2 + kappa.astype(FLOAT_DTYPE) * (
+                theta.astype(FLOAT_DTYPE) - yp) * h
+                + sigma.astype(FLOAT_DTYPE) * jnp.sqrt(yp) * sq
+                * z.astype(FLOAT_DTYPE))
+            lam2 = lam2 + (0.5 * h).astype(ACC_DTYPE) * (
+                yp + jnp.maximum(y_new, 0.0)).astype(ACC_DTYPE)
+            return (y_new, lam2), None
+
+        kk = jax.random.split(k, substeps)
+        (y, lam), _ = jax.lax.scan(sub, (y, lam), kk)
+        return (y, lam), lam
+
+    steps = dts.shape[0]
+    keys = jax.random.split(key, steps)
+    y_init = jnp.full((num_paths,), y0, dtype=FLOAT_DTYPE)
+    lam0 = jnp.zeros((num_paths,), dtype=ACC_DTYPE)
+    (_, _), lams = jax.lax.scan(step, (y_init, lam0), (keys, dts))
+    return jnp.concatenate([lam0[None], lams], axis=0)
+
+
+class CIRPPSimulation:
+    """Doubly-stochastic default simulation on a time grid: pathwise
+    conditional survival S(t) = exp(-Lambda(t)) with Lambda = int (y+ +
+    psi), and default times by the exponential-threshold construction
+    tau = inf{t : Lambda(t) >= E}, E ~ Exp(1) independent per path."""
+
+    def __init__(self, model: CIRPPIntensityModel,
+                 time_discretization: TimeDiscretization, num_paths: int,
+                 seed: int = 2718, antithetic: bool = False,
+                 substeps: int = 4):
+        if antithetic and num_paths % 2:
+            raise ValueError("antithetic needs an even num_paths")
+        if substeps < 1:
+            raise ValueError("substeps must be >= 1")
+        self.model = model
+        self.td = time_discretization
+        self.num_paths = int(num_paths)
+        self.seed = int(seed)
+        self.antithetic = bool(antithetic)
+        self.substeps = int(substeps)
+        times = time_discretization.as_array()
+        if times[0] != 0.0:
+            raise ValueError("simulation grid must start at 0")
+        self._times = times
+        self._psi_int = model.psi_integral(times)      # exact, f64
+        key = jax.random.PRNGKey(self.seed)
+        self._key_y, self._key_e = jax.random.split(key)
+        self._lam_y = _cir_scan(
+            self._key_y, self.num_paths, self.substeps, self.antithetic,
+            jnp.asarray(np.diff(times)), jnp.float64(model.kappa),
+            jnp.float64(model.theta), jnp.float64(model.sigma),
+            jnp.float64(model.y0))
+
+    def _index(self, time: float) -> int:
+        ti = self.td.get_time_index(time)
+        if ti < 0:
+            raise ValueError(f"time {time} not on the simulation grid")
+        return ti
+
+    def survival(self, time: float) -> RandomVariableTPU:
+        """Pathwise conditional survival S(t) = exp(-Lambda(t))."""
+        i = self._index(time)
+        s = jnp.exp(-(self._lam_y[i] + self._psi_int[i]))
+        return RandomVariableTPU.of(self._times[i],
+                                    s.astype(FLOAT_DTYPE))
+
+    def expected_survival(self, time: float) -> float:
+        """E[S(t)] — converges to the market Q(t) as the Euler substeps
+        refine (the martingale test)."""
+        i = self._index(time)
+        return float(jnp.mean(jnp.exp(-(self._lam_y[i]
+                                        + self._psi_int[i]))))
+
+    def default_indicators(self, time: float) -> RandomVariableTPU:
+        """1{tau <= t} per path via the threshold construction (the
+        same Exp(1) draws across all t, so indicators are monotone in
+        t pathwise)."""
+        i = self._index(time)
+        e = jax.random.exponential(self._key_e, (self.num_paths,),
+                                   dtype=jnp.float64)
+        ind = (self._lam_y[i] + self._psi_int[i] >= e)
+        return RandomVariableTPU.of(self._times[i],
+                                    ind.astype(FLOAT_DTYPE))
+
+    def mc_cds_legs(self, discount_curve: DiscountCurve, maturity: float,
+                    recovery: float = 0.4,
+                    payment_interval: float = 0.25):
+        """(protection, rpv01) by Monte Carlo on the pathwise survival
+        (deterministic rates): same bucket discretization as
+        ``cds_legs`` but with E[S] from the simulation — the MC/analytic
+        parity check for the credit engine."""
+        pay = _cds_schedule(maturity, payment_interval)
+        grid = np.concatenate([[0.0], pay])
+        deltas = np.diff(grid)
+        q = np.array([self.expected_survival(t) for t in grid])
+        dq = q[:-1] - q[1:]
+        df_pay = discount_curve.get_discount_factor(pay)
+        df_mid = discount_curve.get_discount_factor(
+            0.5 * (grid[:-1] + grid[1:]))
+        rpv01 = float(np.sum(deltas * df_pay * q[1:])
+                      + np.sum(0.5 * deltas * df_pay * dq))
+        protection = float((1.0 - recovery) * np.sum(df_mid * dq))
+        return protection, rpv01
+
+
+# ---------------------------------------------------------------------------
+# wrong-way-risk CVA: joint Hull-White x CIR++ simulation
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _wwr_scan(key, num_paths: int, substeps: int, antithetic: bool,
+              e_a, b_dt, lx, lyx, ly, dts, rho,
+              kappa, theta, sigma, y0):
+    """One scan advancing (x, Y) by the exact Hull-White transition and
+    (y, Lambda_y) by full-truncation CIR Euler, with the credit normals
+    correlated to the RATE normal z1. Each of the ``substeps`` credit
+    sub-increments takes an EQUAL share of the correlation:
+    z_c_k = (rho/sqrt(substeps)) z1 + sqrt(1 - rho^2/substeps) z3_k,
+    so every z_c_k is standard normal and
+    corr(sum_k z_c_k / sqrt(substeps), z1) = rho exactly — the credit
+    Brownian increment over the full step has correlation rho with the
+    rate increment regardless of the substep count.
+    Returns histories x, Y [steps+1, paths] (f32) and Lambda_y (f64)."""
+    half = num_paths // 2 if antithetic else num_paths
+    r_share = rho / jnp.sqrt(jnp.float64(substeps))
+    idio = jnp.sqrt(1.0 - r_share * r_share)
+
+    def step(carry, inp):
+        x, yy, y, lam = carry
+        k, ea, bd, sx, syx, sy, dt = inp
+        k1, k2, k3 = jax.random.split(k, 3)
+        z1 = jax.random.normal(k1, (half,), dtype=jnp.float32)
+        z2 = jax.random.normal(k2, (half,), dtype=jnp.float32)
+        if antithetic:
+            z1 = jnp.concatenate([z1, -z1])
+            z2 = jnp.concatenate([z2, -z2])
+        z1 = z1.astype(FLOAT_DTYPE)
+        z2 = z2.astype(FLOAT_DTYPE)
+        yy = yy + x * bd.astype(FLOAT_DTYPE) + syx.astype(FLOAT_DTYPE) * z1 \
+            + sy.astype(FLOAT_DTYPE) * z2
+        x = x * ea.astype(FLOAT_DTYPE) + sx.astype(FLOAT_DTYPE) * z1
+
+        h = (dt / substeps).astype(FLOAT_DTYPE)
+        sq = jnp.sqrt(h)
+        rs = r_share.astype(FLOAT_DTYPE)
+        io = idio.astype(FLOAT_DTYPE)
+
+        def sub(carry2, kk):
+            y2, lam2 = carry2
+            z3 = jax.random.normal(kk, (half,), dtype=jnp.float32)
+            if antithetic:
+                z3 = jnp.concatenate([z3, -z3])
+            zc = rs * z1 + io * z3.astype(FLOAT_DTYPE)
+            yp = jnp.maximum(y2, 0.0)
+            y_new = (y2 + kappa.astype(FLOAT_DTYPE) * (
+                theta.astype(FLOAT_DTYPE) - yp) * h
+                + sigma.astype(FLOAT_DTYPE) * jnp.sqrt(yp) * sq * zc)
+            lam2 = lam2 + (0.5 * h).astype(ACC_DTYPE) * (
+                yp + jnp.maximum(y_new, 0.0)).astype(ACC_DTYPE)
+            return (y_new, lam2), None
+
+        kk = jax.random.split(k3, substeps)
+        (y, lam), _ = jax.lax.scan(sub, (y, lam), kk)
+        return (x, yy, y, lam), (x, yy, lam)
+
+    steps = e_a.shape[0]
+    keys = jax.random.split(key, steps)
+    x0 = jnp.zeros((num_paths,), dtype=FLOAT_DTYPE)
+    yy0 = jnp.zeros((num_paths,), dtype=FLOAT_DTYPE)
+    y_init = jnp.full((num_paths,), y0, dtype=FLOAT_DTYPE)
+    lam0 = jnp.zeros((num_paths,), dtype=ACC_DTYPE)
+    _, (xs, yys, lams) = jax.lax.scan(
+        step, (x0, yy0, y_init, lam0), (keys, e_a, b_dt, lx, lyx, ly, dts))
+    return (jnp.concatenate([x0[None], xs], axis=0),
+            jnp.concatenate([yy0[None], yys], axis=0),
+            jnp.concatenate([lam0[None], lams], axis=0))
+
+
+@jax.jit
+def _wwr_collect(xs, yys, lams, psi_int, a_int, alive, leads, bbs, wts,
+                 sign, lgd):
+    """Per-observation CVA contributions, packed. Inputs:
+    xs/yys [E+1, paths] at the observation dates (index 0 = t0),
+    lams likewise (f64), psi_int/a_int [E+1] f64 constants,
+    alive [E] 1.0 while the swap still has payments left (0.0 kills the
+    notional term once everything has settled),
+    leads/bbs/wts [E, J] bond reconstitution coefficients and fixed-leg
+    weights (wts = K delta_j + terminal-notional column masked to the
+    REMAINING payments at each date; the terminal bond column carries
+    the float leg's 1 - P(t, T_n)), sign = +1 payer / -1 receiver.
+
+    Returns stacked [2 + 2E] f64:
+      [cva, cva_independent, E contributions, E expected survivals]."""
+    E = leads.shape[0]
+    xa = xs[1:].astype(ACC_DTYPE)                       # [E, paths]
+    # remaining-swap value: sign * (alive - sum_j w_j P(t_i, t_j)) —
+    # alive and the weights vanish together once the swap has settled
+    bonds = leads[:, :, None] * jnp.exp(
+        -bbs[:, :, None] * xa[:, None, :])              # [E, J, paths]
+    value = sign * (alive[:, None]
+                    - jnp.sum(wts[:, :, None] * bonds, axis=1))
+    inv_n = jnp.exp(-yys[1:].astype(ACC_DTYPE) - a_int[1:, None])
+    dpe = jnp.maximum(value, 0.0) * inv_n               # discounted V+
+    s = jnp.exp(-(lams + psi_int[:, None]))             # [E+1, paths]
+    dS = s[:-1] - s[1:]                                 # [E, paths]
+    contrib = lgd * jnp.mean(dpe * dS, axis=1)          # [E]
+    cva = jnp.sum(contrib)
+    # independence control: product of means with the SAME simulated
+    # survival (rho = 0 must reproduce this up to MC noise)
+    cva_indep = lgd * jnp.sum(jnp.mean(dpe, axis=1) * jnp.mean(dS, axis=1))
+    es = jnp.mean(s[1:], axis=1)
+    return jnp.concatenate([jnp.stack([cva, cva_indep]), contrib, es])
+
+
+@dataclass(frozen=True)
+class WWRCVAResult:
+    cva: float
+    cva_independent: float
+    contributions: np.ndarray        # per observation bucket
+    expected_survival: np.ndarray    # E[S(t_i)] diagnostics
+    observation_times: np.ndarray
+
+    @property
+    def wwr_ratio(self) -> float:
+        """CVA / independent-CVA — >1 is wrong-way, <1 right-way."""
+        return self.cva / self.cva_independent
+
+
+class WrongWayRiskCVAEngine:
+    """CVA of an interest-rate swap under a SIMULATED default intensity
+    correlated with the rate factor.
+
+    Rates: Hull-White (exact per-step transitions, exact pathwise
+    numeraire). Credit: CIR++ fitted to the market survival curve.
+    Correlation ``rho`` couples the credit Brownian to the rate
+    Brownian per step. The swap exposure is EXACT pathwise (affine bond
+    reconstitution — no regression), so the CVA estimator's only errors
+    are MC noise and the CIR Euler bias, both reported.
+
+    CVA = (1-R) sum_i E[ (V(t_i)/N(t_i))+ (S(t_{i-1}) - S(t_i)) ],
+    default in (t_{i-1}, t_i] valued at the bucket's right edge
+    (exposure at the last payment date is zero, so the final bucket
+    contributes nothing — the standard right-edge discretization).
+
+    Extends ``models/lmm/exposure.py`` (deterministic hazard CVA) to
+    the doubly-stochastic setting; the finmath-lib analog is its
+    exposure estimation + CVA examples, which stop at independent
+    hazards."""
+
+    def __init__(self, hw_model: HullWhiteModel,
+                 intensity_model: CIRPPIntensityModel,
+                 payment_times: Sequence[float], fixed_rate: float,
+                 num_paths: int = 100_000, payer: bool = True,
+                 recovery: float = 0.4, correlation: float = 0.0,
+                 seed: int = 777, antithetic: bool = True,
+                 substeps: int = 4,
+                 time_discretization: Optional[TimeDiscretization] = None):
+        if not -1.0 <= correlation <= 1.0:
+            raise ValueError("correlation must be in [-1, 1]")
+        if antithetic and num_paths % 2:
+            raise ValueError("antithetic needs an even num_paths")
+        pt = np.asarray(payment_times, dtype=np.float64)
+        if pt.ndim != 1 or pt.size < 1 or pt[0] <= 0 \
+                or np.any(np.diff(pt) <= 0):
+            raise ValueError("payment_times must be positive, increasing")
+        self.hw = hw_model
+        self.intensity = intensity_model
+        self.payment_times = pt
+        self.fixed_rate = float(fixed_rate)
+        self.num_paths = int(num_paths)
+        self.payer = bool(payer)
+        self.recovery = float(recovery)
+        self.rho = float(correlation)
+        self.seed = int(seed)
+        self.antithetic = bool(antithetic)
+        self.substeps = int(substeps)
+
+        td = time_discretization or TimeDiscretization(
+            np.concatenate([[0.0], pt]))
+        times = td.as_array()
+        if times[0] != 0.0:
+            raise ValueError("grid must start at 0")
+        for t in pt:
+            if td.get_time_index(t) < 0:
+                raise ValueError(f"payment time {t} not on the grid")
+        self.td = td
+        self._times = times
+        # observation dates = swap reset/payment dates, EXCLUDING t=0
+        # (no default in an empty interval) — exposure buckets are the
+        # intervals between consecutive grid times
+        obs_idx = np.arange(1, times.size)
+        self._obs_idx = obs_idx
+
+        a = hw_model.a
+        dts = np.diff(times)
+        for bt in hw_model.vol_times[1:]:
+            if bt < times[-1] and td.get_time_index(bt) < 0:
+                raise ValueError(
+                    f"volatility breakpoint {bt} not on the time grid")
+        sig = np.array([hw_model.sigma_at(t) for t in times[:-1]])
+        cov = np.array([_step_cov(a, s, dt) for s, dt in zip(sig, dts)])
+        lx = np.sqrt(cov[:, 0])
+        lyx = cov[:, 2] / np.maximum(lx, 1e-300)
+        ly = np.sqrt(np.maximum(cov[:, 1] - lyx * lyx, 0.0))
+
+        st = np.array([hw_model.gaussian_state(t) for t in times])
+        phi, c, v = st[:, 0], st[:, 1], st[:, 2]
+        a_int = -np.log(hw_model.df(times)) + 0.5 * v
+
+        # bond reconstitution coefficients at every observation date for
+        # every payment column; weights = fixed coupons K*delta_j plus
+        # the terminal notional (float leg = 1 - P(t, T_n)); columns for
+        # payments at or before the observation date are masked out
+        E, J = obs_idx.size, pt.size
+        deltas = np.diff(np.concatenate([[0.0], pt]))
+        leads = np.zeros((E, J))
+        bbs = np.zeros((E, J))
+        wts = np.zeros((E, J))
+        alive = np.zeros(E)
+        for r, i in enumerate(obs_idx):
+            t = times[i]
+            live = pt > t + 1e-12
+            if not np.any(live):
+                continue
+            alive[r] = 1.0
+            mats = pt[live]
+            bb = _b(a, mats - t)
+            lead = (hw_model.df(mats) / hw_model.df(t)
+                    * np.exp(-0.5 * bb * bb * phi[i] - bb * c[i]))
+            w = self.fixed_rate * deltas[live]
+            w[-1] += 1.0                       # terminal notional
+            leads[r, live] = lead
+            bbs[r, live] = bb
+            wts[r, live] = w
+        self._consts = (jnp.asarray(np.exp(-a * dts)),
+                        jnp.asarray(_b(a, dts)), jnp.asarray(lx),
+                        jnp.asarray(lyx), jnp.asarray(ly),
+                        jnp.asarray(dts))
+        self._a_int = a_int
+        self._leads, self._bbs, self._wts = leads, bbs, wts
+        self._alive = alive
+        self._psi_int = intensity_model.psi_integral(times)
+
+    # ------------------------------------------------------------------
+    def compute(self) -> WWRCVAResult:
+        """Run the joint simulation and collect the CVA decomposition —
+        two device programs, ONE packed host transfer."""
+        im = self.intensity
+        xs, yys, lams = _wwr_scan(
+            jax.random.PRNGKey(self.seed), self.num_paths, self.substeps,
+            self.antithetic, *self._consts, jnp.float64(self.rho),
+            jnp.float64(im.kappa), jnp.float64(im.theta),
+            jnp.float64(im.sigma), jnp.float64(im.y0))
+        full = np.concatenate([[0], self._obs_idx])
+        idx = jnp.asarray(full)
+        packed = np.asarray(_wwr_collect(
+            xs[idx], yys[idx], lams[idx],
+            jnp.asarray(self._psi_int[full]),
+            jnp.asarray(self._a_int[full]), jnp.asarray(self._alive),
+            jnp.asarray(self._leads), jnp.asarray(self._bbs),
+            jnp.asarray(self._wts),
+            jnp.float64(1.0 if self.payer else -1.0),
+            jnp.float64(1.0 - self.recovery)))
+        E = self._obs_idx.size
+        return WWRCVAResult(
+            cva=float(packed[0]), cva_independent=float(packed[1]),
+            contributions=packed[2:2 + E],
+            expected_survival=packed[2 + E:2 + 2 * E],
+            observation_times=self._times[self._obs_idx])
+
+
+def par_swap_rate(discount_curve: DiscountCurve,
+                  payment_times: Sequence[float]) -> float:
+    """Single-curve par rate of a spot-start swap with the given fixed
+    payment dates: (1 - df(T_n)) / sum delta_j df(t_j)."""
+    pt = np.asarray(payment_times, dtype=np.float64)
+    deltas = np.diff(np.concatenate([[0.0], pt]))
+    df = discount_curve.get_discount_factor(pt)
+    return float((1.0 - df[-1]) / np.sum(deltas * df))
