@@ -57,6 +57,10 @@ from .caps import (
     strip_caplet_surface,
     strip_caplet_volatilities,
 )
+from .cross_currency import (
+    CrossCurrencyModel,
+    CrossCurrencySimulation,
+)
 from .credit import (
     CIRPPIntensityModel,
     CIRPPSimulation,
@@ -225,6 +229,8 @@ __all__ = [
     "calibrate_heston",
     "heston_characteristic_prices",
     "mc_heston_european_prices",
+    "CrossCurrencyModel",
+    "CrossCurrencySimulation",
     "CIRPPIntensityModel",
     "CIRPPSimulation",
     "SurvivalCurve",
