@@ -73,6 +73,11 @@ from .credit import (
     cds_value,
     par_swap_rate,
 )
+from .portfolio_credit import (
+    GaussianCopulaPortfolio,
+    GaussianCopulaSimulation,
+    lhp_expected_tranche_loss,
+)
 from .mlmc import (
     MLMCResult,
     mlmc_lookback_call,
@@ -236,6 +241,9 @@ __all__ = [
     "SurvivalCurve",
     "WrongWayRiskCVAEngine",
     "WWRCVAResult",
+    "GaussianCopulaPortfolio",
+    "GaussianCopulaSimulation",
+    "lhp_expected_tranche_loss",
     "bootstrap_survival_curve",
     "cds_legs",
     "cds_par_spread",
