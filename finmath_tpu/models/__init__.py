@@ -73,6 +73,22 @@ from .credit import (
     cds_value,
     par_swap_rate,
 )
+from .risk import (
+    MarketRiskEngine,
+    OptionBook,
+    RiskReport,
+    expected_shortfall,
+    kupiec_pvalue,
+    value_at_risk,
+)
+from .commodity import (
+    SchwartzSmithModel,
+    SchwartzSmithSimulation,
+)
+from .inflation import (
+    JarrowYildirimModel,
+    JarrowYildirimSimulation,
+)
 from .portfolio_credit import (
     GaussianCopulaPortfolio,
     GaussianCopulaSimulation,
@@ -241,6 +257,16 @@ __all__ = [
     "SurvivalCurve",
     "WrongWayRiskCVAEngine",
     "WWRCVAResult",
+    "MarketRiskEngine",
+    "OptionBook",
+    "RiskReport",
+    "expected_shortfall",
+    "kupiec_pvalue",
+    "value_at_risk",
+    "SchwartzSmithModel",
+    "SchwartzSmithSimulation",
+    "JarrowYildirimModel",
+    "JarrowYildirimSimulation",
     "GaussianCopulaPortfolio",
     "GaussianCopulaSimulation",
     "lhp_expected_tranche_loss",
