@@ -58,8 +58,11 @@ from .caps import (
     strip_caplet_volatilities,
 )
 from .cross_currency import (
+    CCSTrade,
+    CrossCurrencyExposureEngine,
     CrossCurrencyModel,
     CrossCurrencySimulation,
+    FXForwardTrade,
 )
 from .credit import (
     CIRPPIntensityModel,
@@ -250,8 +253,11 @@ __all__ = [
     "calibrate_heston",
     "heston_characteristic_prices",
     "mc_heston_european_prices",
+    "CCSTrade",
+    "CrossCurrencyExposureEngine",
     "CrossCurrencyModel",
     "CrossCurrencySimulation",
+    "FXForwardTrade",
     "CIRPPIntensityModel",
     "CIRPPSimulation",
     "SurvivalCurve",

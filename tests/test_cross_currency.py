@@ -174,3 +174,100 @@ class TestCorrelationEffects:
             mc, cf = out[rho]
             assert abs(mc / cf - 1.0) < 0.02
         assert out[0.5][0] > out[-0.5][0]
+
+
+class TestExposureEngine:
+    @pytest.fixture(scope="class")
+    def sim(self):
+        td = TimeDiscretization(initial=0.0, num_steps=20, step=0.5)
+        return CrossCurrencySimulation(make_model(), td,
+                                       num_paths=150_000, seed=5,
+                                       antithetic=True)
+
+    def test_ccs_ee_matches_fx_option_oracle(self, sim):
+        from finmath_tpu.models.cross_currency import (
+            CCSTrade, CrossCurrencyExposureEngine)
+        eng = CrossCurrencyExposureEngine(
+            sim, [CCSTrade(tuple(np.arange(1, 11) * 1.0))])
+        prof = eng.profile()
+        m = sim.model
+        # AT a reset date the zero-basis CCS is worth (X(t)/X0 - 1)
+        # pathwise, so EE(t) = fx_option(t, X0) / X0 EXACTLY
+        for t in (1.0, 5.0, 9.0):
+            i = list(prof.times).index(t)
+            oracle = m.fx_option(t, X0) / X0
+            assert abs(prof.ee[i] / oracle - 1.0) < 6e-3, (t, prof.ee[i])
+        # forward value: remaining stream from the live fixing t_{j-1}
+        # is par in each currency AT t_{j-1}:
+        # E[V/N](t) = P_f(0, t_{j-1}) - P_d(0, t_{j-1}) exactly
+        for i, t in enumerate(prof.times):
+            # live fixing = last payment date <= t (annual grid)
+            t_fix = float(np.floor(t + 1e-9))
+            oracle = float(DC_F.get_discount_factor(t_fix)
+                           - DC_D.get_discount_factor(t_fix))
+            if t >= 10.0 - 1e-9:
+                oracle = 0.0      # settled
+            assert abs(prof.forward_value[i] - oracle) < 8e-4, (t,)
+        # EE + ENE = forward value (same paths, exact decomposition)
+        assert np.allclose(prof.ee + prof.ene, prof.forward_value,
+                           atol=1e-12)
+        assert eng.cva(0.01) > 0.0
+
+    def test_direction_and_netting(self, sim):
+        from finmath_tpu.models.cross_currency import (
+            CCSTrade, CrossCurrencyExposureEngine)
+        pay = tuple(np.arange(1, 6) * 1.0)
+        rec = CrossCurrencyExposureEngine(sim, [CCSTrade(pay)])
+        pay_side = CrossCurrencyExposureEngine(
+            sim, [CCSTrade(pay, receive_foreign=False)])
+        both = CrossCurrencyExposureEngine(
+            sim, [CCSTrade(pay), CCSTrade(pay, receive_foreign=False)])
+        p_r, p_p, p_b = rec.profile(), pay_side.profile(), both.profile()
+        # mirror trades: EE of one = -ENE of the other
+        assert np.allclose(p_r.ee, -p_p.ene, atol=1e-12)
+        # perfect netting kills the netted exposure, standalone keeps it
+        assert np.allclose(p_b.ee, 0.0, atol=1e-12)
+        assert np.all(p_b.ee_standalone[:-1] > 0.0)
+
+    def test_fx_forward_trade_and_basis(self, sim):
+        from finmath_tpu.models.cross_currency import (
+            CCSTrade, CrossCurrencyExposureEngine, FXForwardTrade)
+        m = sim.model
+        eng = CrossCurrencyExposureEngine(sim, [FXForwardTrade(5.0, 1.3)])
+        prof = eng.profile()
+        # covered parity: E[V/N] = X0 P_f(0,5) - 1.3 P_d(0,5) while live
+        live_oracle = X0 * float(DC_F.get_discount_factor(5.0)) \
+            - 1.3 * float(DC_D.get_discount_factor(5.0))
+        live = prof.times < 5.0 - 1e-9
+        assert np.max(np.abs(prof.forward_value[live]
+                             - live_oracle)) < 8e-4
+        assert np.allclose(prof.ee[~live], 0.0)
+        # EE at expiry-adjacent date equals the (t, 1.3/...) FX option:
+        i = int(np.searchsorted(prof.times, 4.5))
+        oracle = m.fx_option(4.5, 1.3 * float(
+            DC_D.get_discount_factor(5.0) / DC_F.get_discount_factor(5.0)))
+        # forward on the bond-adjusted strike only approximates the
+        # deferred payoff; assert the cheap sanity bound instead
+        assert 0.0 < prof.ee[i] < 2.0 * oracle + 0.1
+        # a positive basis raises the foreign leg -> EE up under CRN
+        base = CrossCurrencyExposureEngine(
+            sim, [CCSTrade(tuple(np.arange(1, 6) * 1.0))]).profile()
+        sprd = CrossCurrencyExposureEngine(
+            sim, [CCSTrade(tuple(np.arange(1, 6) * 1.0),
+                           foreign_basis=0.005)]).profile()
+        assert np.all(sprd.ee[:-1] >= base.ee[:-1] - 1e-12)
+        assert sprd.ee[0] > base.ee[0]
+
+    def test_validation(self, sim):
+        from finmath_tpu.models.cross_currency import (
+            CCSTrade, CrossCurrencyExposureEngine, FXForwardTrade)
+        with pytest.raises(ValueError):
+            CrossCurrencyExposureEngine(sim, [])
+        with pytest.raises(ValueError, match="not on the simulation"):
+            CrossCurrencyExposureEngine(sim, [FXForwardTrade(5.3, 1.2)])
+        with pytest.raises(ValueError, match="not on the"):
+            CrossCurrencyExposureEngine(sim, [CCSTrade((1.0, 2.3))])
+        with pytest.raises(ValueError):
+            CrossCurrencyExposureEngine(sim, [CCSTrade((-1.0, 2.0))])
+        with pytest.raises(ValueError):
+            CrossCurrencyExposureEngine(sim, ["swap"])
