@@ -18,6 +18,7 @@ from .bermudan import BermudanSwaption, BermudanSwaptionPricer
 from .products import CapFloor
 from .exposure import (
     CSA,
+    BermudanSwaptionTrade,
     ExposureProfile,
     IMProfile,
     NettingSetExposureEngine,
@@ -67,6 +68,7 @@ __all__ = [
     "SwapTrade",
     "SwaptionExposureEngine",
     "SwaptionTrade",
+    "BermudanSwaptionTrade",
     "bilateral_cva_from_profile",
     "cva_from_profile",
     "dva_from_profile",

@@ -74,7 +74,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops.conditional_expectation import regression_fit, regression_predict
+from ...ops.conditional_expectation import (_regression_fit, regression_fit,
+                                            regression_predict)
 from ...ops.random_variable import ACC_DTYPE
 from .model import (
     LIBORMarketModelTPU,
@@ -353,6 +354,49 @@ class SwaptionTrade:
 
 
 @dataclass(frozen=True)
+class BermudanSwaptionTrade:
+    """A Bermudan payer swaption inside a netting set: the right to enter,
+    at any tenor index in ``exercise_indices`` (ascending), the payer swap
+    over the remaining periods up to ``last_index`` at ``strike``.
+
+    The close-out value is EXERCISE-AWARE — the classic hard exposure
+    problem finmath-lib's eager ``ExposureEstimator`` handles product by
+    product (``BermudanSwaption`` + ``MonteCarloConditionalExpectation
+    Regression``), here computed inside the one fused profile program:
+
+    * the exercise policy is fitted by Longstaff-Schwartz backward
+      induction over the exercise dates (same convention as
+      ``BermudanSwaptionPricer``: exercise iff in the money AND above the
+      regressed continuation);
+    * every path carries its STOPPING TIME; after it, ``physical``
+      exercise leaves the underlying swap's two-way exposure on the
+      exercised paths (``physical=False``: the cash settlement is the
+      exposure at the exercise date, nothing after);
+    * before/between exercise dates the alive-path close-out value is the
+      regressed conditional expectation of the policy's discounted stopped
+      payoff — between dates the regression is RESTRICTED to the alive
+      paths (masked normal equations), because the stopped payoff of an
+      exercised path is no longer a sample of the option's future value.
+    """
+
+    exercise_indices: tuple
+    last_index: int
+    strike: float
+    notional: float = 1.0
+    physical: bool = True
+    basis_degree: int = 2
+
+    def __post_init__(self):
+        xs = tuple(int(x) for x in self.exercise_indices)
+        object.__setattr__(self, "exercise_indices", xs)
+        if not xs or list(xs) != sorted(set(xs)):
+            raise ValueError("exercise_indices must be non-empty, unique "
+                             "and ascending")
+        if xs[0] < 1 or xs[-1] >= self.last_index:
+            raise ValueError("every exercise must lie in [1, last_index)")
+
+
+@dataclass(frozen=True)
 class CSA:
     """Credit-support annex (variation margin) terms of a netting set.
 
@@ -422,8 +466,10 @@ class NettingSetExposureEngine:
         over ``path_axis`` exactly like the valuation engine's
         (expectations become local f64 sums + psum over ICI; PFE
         quantiles all_gather the per-date netted values, E x paths
-        scalars, before the sort). Swap-only sets for now: the swaption
-        LS regression would need psum'd normal equations.
+        scalars, before the sort; swaption/Bermudan Longstaff-Schwartz
+        regressions psum the normal-equation moments so every device
+        solves the identical GLOBAL regression — see
+        ``ops.conditional_expectation._regression_fit``).
 
         ``csa``: optional credit-support annex — EE/ENE/PFE become the
         RESIDUAL exposure after pathwise variation margin (lagged
@@ -438,8 +484,12 @@ class NettingSetExposureEngine:
             raise ValueError("need at least one trade")
         self.swaps = [t for t in trades if isinstance(t, SwapTrade)]
         self.swaptions = [t for t in trades if isinstance(t, SwaptionTrade)]
-        if len(self.swaps) + len(self.swaptions) != len(trades):
-            raise ValueError("trades must be SwapTrade or SwaptionTrade")
+        self.bermudans = [t for t in trades
+                          if isinstance(t, BermudanSwaptionTrade)]
+        if (len(self.swaps) + len(self.swaptions) + len(self.bermudans)
+                != len(trades)):
+            raise ValueError("trades must be SwapTrade, SwaptionTrade or "
+                             "BermudanSwaptionTrade")
         for tr in self.swaps:
             if not (1 <= tr.first_index < tr.last_index <= n):
                 raise ValueError(f"invalid swap period range in {tr}")
@@ -447,6 +497,12 @@ class NettingSetExposureEngine:
             if not (1 <= tr.exercise_index and tr.num_periods >= 1
                     and tr.last_index <= n):
                 raise ValueError(f"swaption does not fit the grid: {tr}")
+            if tr.basis_degree < 1:
+                raise ValueError(f"basis_degree must be >= 1 in {tr}")
+        for tr in self.bermudans:
+            if tr.last_index > n:
+                raise ValueError(
+                    f"Bermudan does not fit on the tenor grid: {tr}")
             if tr.basis_degree < 1:
                 raise ValueError(f"basis_degree must be >= 1 in {tr}")
         if csa is not None and not isinstance(csa, CSA):
@@ -468,10 +524,13 @@ class NettingSetExposureEngine:
                 raise ValueError(
                     f"swaption expiry index {tr.exercise_index} must be an "
                     "observation date (its payoff is fixed there)")
-        if mesh is not None and self.swaptions:
-            raise NotImplementedError(
-                "meshed exposure currently covers swap-only netting sets "
-                "(swaption regression needs psum'd normal equations)")
+        for tr in self.bermudans:
+            for x in tr.exercise_indices:
+                if x not in obs:
+                    raise ValueError(
+                        f"Bermudan exercise index {x} must be an "
+                        "observation date (the policy decision is taken "
+                        "there)")
         self.observation_indices = obs
 
         # event scaffolding: one placeholder product per observation date
@@ -530,10 +589,17 @@ class NettingSetExposureEngine:
         self._coef_np = sw_alive * np.asarray(
             [(1.0 if tr.payer else -1.0) * tr.notional
              for tr in self.swaps])[None, :]
+        # optionality underlyings (European swaptions, then Bermudans):
+        # the remaining payer swap [max(e, first_exercise), last) at every
+        # observation — one shared geometry batch so all underlyings ride
+        # the same [U, n] @ [n, paths] annuity matmul
         (self._u_pay_mask_np, self._u_start_m1_np, self._u_is_fwd_np,
          self._u_alive_np, self._u_end_m1_np, self._u_strikes_np) = \
-            swap_geometry([(tr.exercise_index, tr.last_index, tr.strike)
-                           for tr in self.swaptions])
+            swap_geometry(
+                [(tr.exercise_index, tr.last_index, tr.strike)
+                 for tr in self.swaptions]
+                + [(tr.exercise_indices[0], tr.last_index, tr.strike)
+                   for tr in self.bermudans])
         self._ev_x_np = np.asarray(
             [obs.index(tr.exercise_index) for tr in self.swaptions],
             dtype=np.int64)
@@ -564,7 +630,11 @@ class NettingSetExposureEngine:
         qs = jnp.asarray(self.quantiles, dtype=ACC_DTYPE)
         df_obs = jnp.asarray(self._df_obs_np, dtype=ACC_DTYPE)
 
-        K = len(self.swaptions)
+        K = len(self.swaptions) + len(self.bermudans)
+        K_eur = len(self.swaptions)
+        # regression axis: psum the LS normal equations over the mesh so
+        # each device fits the global policy on its local path shard
+        ax = eng.path_axis if eng.mesh is not None else None
         if K:
             u_pay_mask = jnp.asarray(self._u_pay_mask_np, dtype=eng.dtype)
             u_start_m1 = jnp.asarray(self._u_start_m1_np)
@@ -669,7 +739,7 @@ class NettingSetExposureEngine:
                             [srate[ev, k].astype(eng.dtype) ** d
                              for d in range(tr.basis_degree + 1)])
                         pred = regression_predict(
-                            basis, regression_fit(basis, h_disc))
+                            basis, _regression_fit(basis, h_disc, ax))
                         rows.append(jnp.maximum(pred.astype(ACC_DTYPE),
                                                 0.0))
                     elif ev == evx:
@@ -679,6 +749,95 @@ class NettingSetExposureEngine:
                             exercised, v_und[ev, k] * disc[ev], 0.0))
                     else:
                         rows.append(jnp.zeros_like(h_disc))
+                c_disc = tr.notional * jnp.stack(rows)    # [E, paths]
+                v_disc = v_disc + c_disc
+                s_plus_disc = s_plus_disc + jnp.maximum(c_disc, 0.0)
+                v_undisc = v_undisc + jnp.where(disc > 0.0,
+                                                c_disc / disc, 0.0)
+            for kb, tr in enumerate(self.bermudans):
+                # Bermudan close-out: LS backward induction fits the
+                # exercise policy over the exercise dates; every path
+                # then carries its stopping ordinal tau, and the per-
+                # observation close-out value is (physical) the live
+                # underlying swap on paths with tau <= ev, plus the
+                # regressed continuation value on still-alive paths
+                u0 = K_eur + kb
+                xs = [self.observation_indices.index(x)
+                      for x in tr.exercise_indices]     # obs ordinals
+                M = len(xs)
+                z = [v_und[xs[m], u0] * disc[xs[m]] for m in range(M)]
+
+                def basis_at(ev):
+                    return jnp.stack(
+                        [srate[ev, u0].astype(eng.dtype) ** d
+                         for d in range(tr.basis_degree + 1)])
+
+                # backward induction (all-paths regressions, the
+                # BermudanSwaptionPricer convention): d[m] = exercise at
+                # m if alive; Y_from[m] = discounted stopped payoff of
+                # the policy from exercise date m onward
+                d = [None] * M
+                C = [None] * M
+                Y_from = [None] * M
+                d[M - 1] = z[M - 1] > 0.0
+                C[M - 1] = jnp.zeros_like(z[M - 1])
+                Y_from[M - 1] = jnp.maximum(z[M - 1], 0.0)
+                for m in reversed(range(M - 1)):
+                    basis = basis_at(xs[m])
+                    C[m] = regression_predict(
+                        basis,
+                        _regression_fit(basis, Y_from[m + 1], ax)
+                    ).astype(ACC_DTYPE)
+                    d[m] = (z[m] > 0.0) & (z[m] > C[m])
+                    Y_from[m] = jnp.where(d[m], z[m], Y_from[m + 1])
+                # stopping ordinal per path (E_n = never exercised);
+                # first exercise wins, matching Y_from's semantics
+                tau = jnp.full_like(z[0], E_n, dtype=jnp.int32)
+                for m in reversed(range(M)):
+                    tau = jnp.where(d[m], jnp.int32(xs[m]), tau)
+                rows = []
+                for ev in range(E_n):
+                    # exercised leg: the underlying swap's remaining
+                    # periods [e, last) live on exercised paths
+                    # (physical), or only the settlement instant (cash)
+                    live = v_und[ev, u0] * disc[ev]
+                    if tr.physical:
+                        ex_val = jnp.where(tau <= ev, live, 0.0)
+                    else:
+                        ex_val = jnp.where(tau == ev, live, 0.0)
+                    # alive leg: regressed continuation value, floored
+                    # (a long option's close-out value is nonnegative)
+                    next_m = next((m for m in range(M) if xs[m] >= ev),
+                                  None)
+                    if next_m is None:
+                        alive_val = jnp.zeros_like(live)
+                    elif xs[next_m] == ev:
+                        alive_val = jnp.maximum(C[next_m], 0.0)
+                    elif next_m == 0:
+                        # before the first exercise date every path is
+                        # alive: plain regression of the stopped payoff
+                        basis = basis_at(ev)
+                        pred = regression_predict(
+                            basis, _regression_fit(basis, Y_from[0], ax))
+                        alive_val = jnp.maximum(pred.astype(ACC_DTYPE),
+                                                0.0)
+                    else:
+                        # between exercise dates: restrict the normal
+                        # equations to the alive paths — an exercised
+                        # path's stopped payoff is no longer a sample
+                        # of the option's future value
+                        alive = tau > ev
+                        basis = basis_at(ev)
+                        w = alive.astype(basis.dtype)
+                        pred = regression_predict(
+                            basis,
+                            _regression_fit(
+                                basis * w,
+                                jnp.where(alive, Y_from[next_m], 0.0), ax))
+                        alive_val = jnp.maximum(pred.astype(ACC_DTYPE),
+                                                0.0)
+                    rows.append(ex_val
+                                + jnp.where(tau > ev, alive_val, 0.0))
                 c_disc = tr.notional * jnp.stack(rows)    # [E, paths]
                 v_disc = v_disc + c_disc
                 s_plus_disc = s_plus_disc + jnp.maximum(c_disc, 0.0)
@@ -902,7 +1061,7 @@ class NettingSetExposureEngine:
         the same bump semantics as ``LMMValuationEngine.forward_deltas``).
         The XVA-desk ladder: finmath computes it by re-running the whole
         exposure estimation per bumped curve node."""
-        if self.swaptions:
+        if self.swaptions or self.bermudans:
             raise NotImplementedError(
                 "cva_forward_deltas currently covers swap-only netting "
                 "sets (the adjoint-safe delta core does not regress "
@@ -995,6 +1154,16 @@ class NettingSetExposureEngine:
                 axis=0)
             return v_net, L[e].astype(ACC_DTYPE), inv_n
 
+        # regression axis under the mesh: psum'd moment regressions +
+        # pmean'd expectations, mirroring the profile core
+        ax = eng.path_axis if eng.mesh is not None else None
+
+        def mean_paths(x):
+            m = jnp.mean(x, axis=-1)
+            if ax is not None:
+                m = jax.lax.pmean(m, ax)
+            return m
+
         def core(params, inc):
             v_t, fix, inv_n = eng._simulate_collect(params, collect, inc)
             finite = (jnp.isfinite(v_t) & jnp.isfinite(fix)
@@ -1004,7 +1173,7 @@ class NettingSetExposureEngine:
             inv_n = jnp.where(finite, inv_n, 0.0)
             if not spot:
                 inv_n = inv_n * eng._p0_terminal
-            mean_inv = jnp.mean(inv_n, axis=-1)
+            mean_inv = mean_paths(inv_n)
             if model.use_numeraire_adjustment:
                 adj = jnp.where(mean_inv > 0.0, df_obs / mean_inv, 0.0)
             else:
@@ -1015,19 +1184,21 @@ class NettingSetExposureEngine:
             im_disc, im_t = [], []
             for i in range(E_n - 1):
                 x = v_t[i]
-                mu = jnp.mean(x)
-                sd = jnp.sqrt(jnp.maximum(jnp.mean((x - mu) ** 2), 1e-30))
+                mu = mean_paths(x)
+                sd = jnp.sqrt(jnp.maximum(mean_paths((x - mu) ** 2),
+                                          1e-30))
                 xn = ((x - mu) / sd).astype(eng.dtype)
                 basis = jnp.stack([xn ** k for k in range(degree + 1)])
                 y = pnl[i]
                 m1 = regression_predict(
-                    basis, regression_fit(basis, y)).astype(ACC_DTYPE)
+                    basis, _regression_fit(basis, y, ax)).astype(ACC_DTYPE)
                 m2 = regression_predict(
-                    basis, regression_fit(basis, y * y)).astype(ACC_DTYPE)
+                    basis,
+                    _regression_fit(basis, y * y, ax)).astype(ACC_DTYPE)
                 var = jnp.maximum(m2 - m1 * m1, 0.0)
                 im_i = scale[i] * jnp.sqrt(var)             # [paths]
-                im_disc.append(jnp.mean(im_i * disc[i]))
-                im_t.append(jnp.mean(im_i))
+                im_disc.append(mean_paths(im_i * disc[i]))
+                im_t.append(mean_paths(im_i))
             # one [2, E-1] transfer (see the profile core's RTT note)
             return jnp.stack([jnp.stack(im_disc), jnp.stack(im_t)])
 
@@ -1042,13 +1213,9 @@ class NettingSetExposureEngine:
         the date's information via least-squares regression (see
         ``_build_im_fn``) — ONE device dispatch, one host transfer.
         Feed the result to ``mva_from_im_profile``."""
-        if self.swaptions:
+        if self.swaptions or self.bermudans:
             raise NotImplementedError(
                 "im_profile currently covers swap-only netting sets")
-        if self.engine.mesh is not None:
-            raise NotImplementedError(
-                "im_profile is single-device for now (the moment "
-                "regressions would need psum'd normal equations)")
         if not 0.5 < quantile < 1.0:
             raise ValueError("quantile must lie in (0.5, 1)")
         if mpr <= 0.0:

@@ -55,6 +55,27 @@ def _cholesky_solve_small(gram: jax.Array, rhs: jax.Array) -> jax.Array:
     return jnp.stack(beta)
 
 
+def _regression_fit(basis: jax.Array, y: jax.Array,
+                    axis_name=None) -> jax.Array:
+    """Unjitted body of ``regression_fit`` — callable inside shard_map
+    with ``axis_name`` set: the normal equations' moments (gram, rhs) are
+    local partial sums over the device's path shard, psum'd over ICI
+    before the tiny solve, so every device solves the identical GLOBAL
+    regression (the distributed Longstaff-Schwarz the single-device
+    engines get for free)."""
+    X = basis.astype(ACC_DTYPE)                      # [B, P_local]
+    yd = y.astype(ACC_DTYPE)
+    gram = X @ X.T                                   # [B, B]
+    rhs = X @ yd                                     # [B]
+    if axis_name is not None:
+        gram = jax.lax.psum(gram, axis_name)
+        rhs = jax.lax.psum(rhs, axis_name)
+    eye = jnp.eye(gram.shape[0], dtype=ACC_DTYPE)
+    return _cholesky_solve_small(
+        gram + 1e-12 * jnp.trace(gram) * eye, rhs
+    )
+
+
 @jax.jit
 def regression_fit(basis: jax.Array, y: jax.Array) -> jax.Array:
     """basis [B, paths], y [paths] -> f64 coefficients beta [B].
@@ -64,15 +85,10 @@ def regression_fit(basis: jax.Array, y: jax.Array) -> jax.Array:
     SPD solve is an unrolled Cholesky (TPU-safe for f64). Exposed
     separately from prediction so a Longstaff-Schwartz policy can be
     FITTED on one path set and APPLIED to an independent one (the
-    out-of-sample lower bound of the Bermudan pricer)."""
-    X = basis.astype(ACC_DTYPE)                      # [B, P]
-    yd = y.astype(ACC_DTYPE)
-    gram = X @ X.T                                   # [B, B]
-    rhs = X @ yd                                     # [B]
-    eye = jnp.eye(gram.shape[0], dtype=ACC_DTYPE)
-    return _cholesky_solve_small(
-        gram + 1e-12 * jnp.trace(gram) * eye, rhs
-    )
+    out-of-sample lower bound of the Bermudan pricer). For a sharded path
+    axis inside shard_map, use ``_regression_fit(basis, y, axis_name)``
+    (psum'd moments)."""
+    return _regression_fit(basis, y)
 
 
 def regression_predict(basis: jax.Array, beta: jax.Array) -> jax.Array:

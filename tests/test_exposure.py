@@ -596,3 +596,156 @@ class TestCVA:
                     default_probabilities=[0.1])  # both
         with pytest.raises(ValueError):
             eng.cva(p0, default_probabilities=[0.2])  # wrong length
+
+
+class TestBermudanExposure:
+    """Exercise-aware Bermudan close-out values in the netting engine:
+    LS policy, pathwise stopping times, post-exercise swap exposure."""
+
+    X, M = 8, 8           # first exercise, final payment X + M
+
+    @pytest.fixture(scope="class")
+    def strike(self, setup):
+        from finmath_tpu.models.curves import par_swap_rate
+
+        m = setup.model
+        return float(par_swap_rate(m.forward_curve, m.discount_curve,
+                                   m.tenor_times[self.X:self.X + self.M + 1]))
+
+    @pytest.fixture(scope="class")
+    def berm_profile(self, setup, strike):
+        """Shared 3-exercise physical Bermudan profile."""
+        from finmath_tpu.models.lmm.exposure import (
+            BermudanSwaptionTrade, NettingSetExposureEngine)
+
+        eng = NettingSetExposureEngine(
+            setup.model,
+            [BermudanSwaptionTrade((self.X, self.X + 2, self.X + 4),
+                                   self.X + self.M, strike)],
+            num_paths=N_PATHS, num_factors=1, seed=123)
+        return eng.profile(setup.covariance.initial_parameters)
+
+    def test_single_exercise_matches_european(self, setup, strike):
+        """A one-date Bermudan IS the European swaption: the backward
+        induction degenerates to the same regression of the same floored
+        discounted payoff on the same paths (same seed)."""
+        from finmath_tpu.models.lmm.exposure import (
+            BermudanSwaptionTrade, NettingSetExposureEngine, SwaptionTrade)
+
+        p0 = setup.covariance.initial_parameters
+        kw = dict(num_paths=N_PATHS, num_factors=1, seed=123)
+        berm = NettingSetExposureEngine(
+            setup.model,
+            [BermudanSwaptionTrade((self.X,), self.X + self.M, strike)],
+            **kw).profile(p0)
+        eur = NettingSetExposureEngine(
+            setup.model, [SwaptionTrade(self.X, self.M, strike)],
+            **kw).profile(p0)
+        assert np.allclose(berm.ee, eur.ee, atol=1e-10)
+        assert np.allclose(berm.ene, eur.ene, atol=1e-10)
+        assert np.allclose(berm.pfe[0.95], eur.pfe[0.95], atol=1e-10)
+
+    def test_t0_value_matches_bermudan_pricer(self, setup, strike,
+                                              berm_profile):
+        """forward_value before the first exercise reprices the dedicated
+        BermudanSwaptionPricer (different engine, different basis, same
+        model) within its own lower/upper duality bracket + MC noise."""
+        from finmath_tpu.models.lmm.bermudan import (BermudanSwaption,
+                                                     BermudanSwaptionPricer)
+
+        p0 = setup.covariance.initial_parameters
+        pricer = BermudanSwaptionPricer(
+            setup.model,
+            BermudanSwaption((self.X, self.X + 2, self.X + 4),
+                             self.X + self.M, strike),
+            num_paths=N_PATHS, num_factors=1, seed=123)
+        lo, hi = pricer.get_value_bounds(p0)
+        mc_tol = 4e-4            # ~3 sigma at 8k paths for this product
+        v0 = berm_profile.forward_value[0]
+        assert lo - mc_tol <= v0 <= hi + mc_tol
+
+    def test_bermudan_dominates_european(self, setup, strike, berm_profile):
+        """More exercise rights cannot be worth less: the Bermudan's t=0
+        forward value >= the European into the same final swap (same
+        paths, same regression family)."""
+        from finmath_tpu.models.lmm.exposure import (
+            NettingSetExposureEngine, SwaptionTrade)
+
+        p0 = setup.covariance.initial_parameters
+        eur = NettingSetExposureEngine(
+            setup.model, [SwaptionTrade(self.X, self.M, strike)],
+            num_paths=N_PATHS, num_factors=1, seed=123).profile(p0)
+        assert berm_profile.forward_value[0] >= \
+            eur.forward_value[0] - 2e-4
+
+    def test_forward_value_flat_before_first_exercise(self, berm_profile):
+        """The regressed close-out value preserves the mean, so the
+        forward value is (approximately) constant up to the first
+        exercise date — the martingale diagnostic."""
+        pre = berm_profile.forward_value[:self.X - 1]
+        assert np.max(np.abs(pre - pre[0])) < 6e-4
+
+    def test_exposure_nonnegative_before_first_exercise(self, berm_profile):
+        assert np.all(berm_profile.ene[:self.X - 1] >= -1e-12)
+
+    def test_physical_exercise_continues_and_can_go_negative(
+            self, berm_profile):
+        """After exercise the underlying swap is a two-way obligation."""
+        assert np.min(berm_profile.ene[self.X:]) < 0.0
+        assert np.max(berm_profile.ee[self.X:]) > 0.0
+
+    def test_cash_settlement_dies_after_last_exercise(self, setup, strike):
+        from finmath_tpu.models.lmm.exposure import (
+            BermudanSwaptionTrade, NettingSetExposureEngine)
+
+        p0 = setup.covariance.initial_parameters
+        prof = NettingSetExposureEngine(
+            setup.model,
+            [BermudanSwaptionTrade((self.X, self.X + 2), self.X + self.M,
+                                   strike, physical=False)],
+            num_paths=N_PATHS, num_factors=1, seed=7).profile(p0)
+        last_x_ev = self.X + 2 - 1    # observations start at index 1
+        assert np.allclose(prof.ee[last_x_ev + 1:], 0.0, atol=1e-15)
+        assert np.all(prof.ene >= -1e-12)   # cash option never a liability
+        assert prof.ee[last_x_ev - 1] > 0.0
+
+    def test_netting_against_offsetting_swap(self, setup, strike):
+        """A receiver swap over the underlying's periods offsets the
+        exercised Bermudan pathwise: netted EE < standalone sum."""
+        from finmath_tpu.models.lmm.exposure import (
+            BermudanSwaptionTrade, NettingSetExposureEngine, SwapTrade)
+
+        p0 = setup.covariance.initial_parameters
+        prof = NettingSetExposureEngine(
+            setup.model,
+            [BermudanSwaptionTrade((self.X, self.X + 2), self.X + self.M,
+                                   strike),
+             SwapTrade(self.X, self.X + self.M, strike, payer=False)],
+            num_paths=N_PATHS, num_factors=1, seed=11).profile(p0)
+        assert np.all(prof.netting_benefit >= -1e-12)
+        assert np.max(prof.netting_benefit) > 0.0
+
+    def test_guards(self, setup, strike):
+        from finmath_tpu.models.lmm.exposure import (
+            BermudanSwaptionTrade, NettingSetExposureEngine)
+
+        p0 = setup.covariance.initial_parameters
+        with pytest.raises(ValueError):
+            BermudanSwaptionTrade((self.X, self.X), self.X + self.M, strike)
+        with pytest.raises(ValueError):
+            BermudanSwaptionTrade((self.X + self.M,), self.X + self.M,
+                                  strike)
+        with pytest.raises(ValueError):
+            # exercise date not observed
+            NettingSetExposureEngine(
+                setup.model,
+                [BermudanSwaptionTrade((self.X,), self.X + self.M, strike)],
+                num_paths=N_PATHS, observation_indices=[2, 4])
+        eng = NettingSetExposureEngine(
+            setup.model,
+            [BermudanSwaptionTrade((self.X,), self.X + self.M, strike)],
+            num_paths=N_PATHS, num_factors=1)
+        with pytest.raises(NotImplementedError):
+            eng.cva_forward_deltas(p0, hazard_rate=0.01)
+        with pytest.raises(NotImplementedError):
+            eng.im_profile(p0)

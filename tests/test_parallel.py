@@ -199,14 +199,43 @@ class TestMeshedExposure:
         # sum), amplified through the adjoint on near-zero entries
         assert np.allclose(gm, gs, rtol=1e-6, atol=1e-10)
 
-    def test_swaptions_under_mesh_guarded(self, mesh):
+    def test_option_netting_set_matches_single_device(self, mesh):
+        """Swaption + Bermudan close-out regressions under the mesh:
+        the normal-equation moments psum over ICI, so with the SAME
+        injected increments every device fits the identical global
+        policy — the meshed profile must equal the single-device one up
+        to f64 reduction order."""
         from finmath_tpu.models.lmm.atm_calibration import (
             build_atm_calibration)
         from finmath_tpu.models.lmm.exposure import (
-            NettingSetExposureEngine, SwaptionTrade)
+            BermudanSwaptionTrade, NettingSetExposureEngine, SwaptionTrade)
+        from finmath_tpu.models.qmc import sobol_brownian_increments
 
-        setup = build_atm_calibration(num_paths=1024, num_factors=1)
-        with pytest.raises(NotImplementedError):
-            NettingSetExposureEngine(
-                setup.model, [SwaptionTrade(4, 4, 0.01)],
-                num_paths=1024, num_factors=1, mesh=mesh)
+        paths = 4096
+        setup = build_atm_calibration(num_paths=paths, num_factors=1)
+        sim = setup.model.sim_times
+        inc = sobol_brownian_increments(sim[1:] - sim[:-1], 1, paths,
+                                        seed=23)
+        trades = [SwaptionTrade(4, 4, 0.01),
+                  BermudanSwaptionTrade((4, 6), 10, 0.01),
+                  ]
+        kw = dict(num_paths=paths, num_factors=1, increments=inc)
+        p0 = setup.covariance.initial_parameters
+        pm = NettingSetExposureEngine(setup.model, trades, mesh=mesh,
+                                      **kw).profile(p0)
+        ps = NettingSetExposureEngine(setup.model, trades,
+                                      **kw).profile(p0)
+        assert np.allclose(pm.ee, ps.ee, atol=1e-8)
+        assert np.allclose(pm.ene, ps.ene, atol=1e-8)
+        assert np.allclose(pm.forward_value, ps.forward_value, atol=1e-8)
+        assert np.allclose(pm.pfe[0.99], ps.pfe[0.99], atol=1e-7)
+
+    def test_im_profile_matches_single_device(self, setups):
+        """Dynamic IM under the mesh: psum'd moment regressions."""
+        setup, meshed, single = setups
+        p0 = setup.covariance.initial_parameters
+        im_m = meshed.im_profile(p0)
+        im_s = single.im_profile(p0)
+        assert np.allclose(im_m.expected_im, im_s.expected_im, atol=1e-9)
+        assert np.allclose(im_m.expected_im_tmoney,
+                           im_s.expected_im_tmoney, atol=1e-9)
