@@ -188,6 +188,65 @@ class TestGreeksThroughSolver:
         assert abs(float(vega) - expected) < 2e-2 * expected
 
 
+class TestExecutionPaths:
+    """coeffs= fast path, backend pinning, and outer-jit inlining must
+    all agree with the reference coeff_fn path bit-for-bit (same
+    arithmetic, different packaging)."""
+
+    def _inputs(self):
+        x = np.linspace(math.log(S0) - 2.4, math.log(S0) + 2.4, 201)
+        spots = np.exp(x)
+        terminal = np.maximum(spots - K, 0.0)
+        mu = np.full_like(x, R - 0.5 * SIGMA ** 2)
+        sig2 = np.full_like(x, SIGMA ** 2)
+        r = np.full_like(x, R)
+        return x, spots, terminal, (mu, sig2, r)
+
+    def test_coeffs_path_matches_coeff_fn_path(self):
+        x, spots, terminal, coeffs = self._inputs()
+
+        def coeff_fn(t):
+            del t
+            return tuple(jnp.asarray(c) for c in coeffs)
+
+        via_fn = theta_scheme_solve(x, terminal, coeff_fn, T, 60,
+                                    underlying=spots)
+        via_arrays = theta_scheme_solve(x, terminal, None, T, 60,
+                                        underlying=spots, coeffs=coeffs)
+        np.testing.assert_allclose(np.asarray(via_fn),
+                                   np.asarray(via_arrays), rtol=1e-12)
+
+    def test_backend_pinning_agrees(self):
+        x, spots, terminal, coeffs = self._inputs()
+        kw = dict(underlying=spots, coeffs=coeffs)
+        v_auto = theta_scheme_solve(x, terminal, None, T, 60, **kw)
+        v_cpu = theta_scheme_solve(x, terminal, None, T, 60,
+                                   backend="cpu", **kw)
+        v_dev = theta_scheme_solve(x, terminal, None, T, 60,
+                                   backend=None, **kw)
+        np.testing.assert_allclose(np.asarray(v_cpu), np.asarray(v_auto),
+                                   rtol=1e-12)
+        # CPU vs device may differ in f64-emulation rounding only
+        np.testing.assert_allclose(np.asarray(v_dev), np.asarray(v_cpu),
+                                   rtol=1e-9)
+
+    def test_inlines_into_outer_jit(self):
+        x, spots, terminal, coeffs = self._inputs()
+
+        @jax.jit
+        def solve(term):
+            return theta_scheme_solve(jnp.asarray(x), term, None, T, 60,
+                                      underlying=jnp.asarray(spots),
+                                      coeffs=tuple(jnp.asarray(c)
+                                                   for c in coeffs))
+
+        inner = solve(jnp.asarray(terminal))
+        outer = theta_scheme_solve(x, terminal, None, T, 60,
+                                   underlying=spots, coeffs=coeffs)
+        np.testing.assert_allclose(np.asarray(inner), np.asarray(outer),
+                                   rtol=1e-9)
+
+
 class TestLocalVolPDE:
     def test_flat_ssvi_surface_reduces_to_black_scholes(self):
         from finmath_tpu.models.local_vol import SSVISurface
