@@ -1,0 +1,147 @@
+"""Heston-SLV tests (finmath_tpu/models/slv.py).
+
+The model's defining property IS the test: with full vol-of-vol ON, the
+in-scan particle-calibrated leverage must make the MC vanillas REPRICE
+the input implied surface — flattening the Heston smile back onto a
+strike-flat SSVI, and reproducing a skewed SSVI. ``mixing=0`` with
+``v0 == theta`` degenerates to the pure Dupire local-vol model, pinned
+against the Black-Scholes term-vol oracle."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from finmath_tpu.models.analytic import (
+    black_implied_volatility,
+    black_scholes_option_value,
+)
+from finmath_tpu.models.heston import HestonParams
+from finmath_tpu.models.local_vol import SSVISurface, european_call_values
+from finmath_tpu.models.slv import (
+    HestonSLVModel,
+    MonteCarloHestonSLVModel,
+    hat_basis,
+)
+from finmath_tpu.models.time_discretization import TimeDiscretization
+
+S0, R = 100.0, 0.03
+FLAT = SSVISurface(sigma0=0.25, sigma_inf=0.20, tau=1.5, rho=0.0, eta=0.0)
+SKEW = SSVISurface(sigma0=0.22, sigma_inf=0.20, tau=2.0, rho=-0.65,
+                   eta=0.6, gamma=0.4)
+HESTON = HestonParams(initial_value=S0, risk_free_rate=R, v0=0.04,
+                      kappa=1.5, theta=0.06, xi=0.8, rho=-0.7)
+PATHS = 150_000
+
+
+@pytest.fixture(scope="module")
+def flat_mc():
+    td = TimeDiscretization(initial=0.0, num_steps=50, step=0.02)
+    model = HestonSLVModel(HESTON, FLAT, td)
+    return MonteCarloHestonSLVModel(td, PATHS, model, seed=7)
+
+
+@pytest.fixture(scope="module")
+def skew_mc():
+    td = TimeDiscretization(initial=0.0, num_steps=50, step=0.02)
+    model = HestonSLVModel(HESTON, SKEW, td)
+    return MonteCarloHestonSLVModel(td, PATHS, model, seed=8)
+
+
+class TestBasis:
+    def test_partition_of_unity(self):
+        nodes = jnp.linspace(-3.0, 3.0, 13)
+        z = jnp.linspace(-5.0, 5.0, 101)  # incl. out-of-range clamping
+        b = hat_basis(z, nodes)
+        np.testing.assert_allclose(np.asarray(b.sum(axis=0)), 1.0,
+                                   atol=1e-6)
+        assert np.all(np.asarray(b) >= 0.0)
+
+    def test_param_validation(self):
+        td = TimeDiscretization(initial=0.0, num_steps=4, step=0.25)
+        with pytest.raises(ValueError):
+            HestonSLVModel(HESTON, FLAT, td, mixing=1.5)
+        with pytest.raises(ValueError):
+            HestonSLVModel(HESTON, FLAT, td, num_basis=2)
+
+
+class TestLocalVolDegeneration:
+    def test_mixing_zero_is_black_scholes_on_flat_surface(self):
+        # mixing=0 and v0==theta: V is constant v0, the leverage is
+        # v_loc/v0, so total variance is exactly Dupire == flat SSVI
+        # == Black-Scholes with the integrated term vol.
+        p = HestonParams(initial_value=S0, risk_free_rate=R, v0=0.05,
+                         kappa=1.5, theta=0.05, xi=0.8, rho=-0.7)
+        td = TimeDiscretization(initial=0.0, num_steps=50, step=0.02)
+        model = HestonSLVModel(p, FLAT, td, mixing=0.0)
+        mc = MonteCarloHestonSLVModel(td, PATHS, model, seed=9)
+        out = european_call_values(mc, [80.0, 100.0, 125.0], [1.0])
+        sig_term = math.sqrt(float(FLAT.theta(1.0)) / 1.0)
+        for j, strike in enumerate([80.0, 100.0, 125.0]):
+            v, e = out[0, j]
+            an = black_scholes_option_value(S0, R, sig_term, 1.0, strike)
+            assert abs(v - an) < 4 * e + 2e-3 * an
+
+
+class TestSurfaceRoundTrip:
+    def test_leverage_flattens_the_heston_smile(self, flat_mc):
+        # xi=0.8, rho=-0.7 would produce a steep Heston skew; the
+        # calibrated leverage must cancel it back to the flat input.
+        strikes = np.array([80.0, 90.0, 100.0, 110.0, 120.0])
+        out = european_call_values(flat_mc, strikes, [1.0])
+        fwd, df = S0 * math.exp(R), math.exp(-R)
+        sig_in = math.sqrt(float(FLAT.theta(1.0)))
+        for j, kk in enumerate(strikes):
+            iv_mc = black_implied_volatility(fwd, kk, 1.0, out[0, j, 0] / df)
+            assert abs(iv_mc - sig_in) < 0.008, (kk, iv_mc, sig_in)
+
+    def test_reprices_the_skewed_surface(self, skew_mc):
+        strikes = np.array([85.0, 92.5, 100.0, 110.0, 120.0])
+        for T in (0.5, 1.0):
+            out = european_call_values(skew_mc, strikes, [T])
+            fwd, df = S0 * math.exp(R * T), math.exp(-R * T)
+            for j, kk in enumerate(strikes):
+                iv_mc = black_implied_volatility(fwd, kk, T, out[0, j, 0] / df)
+                iv_in = float(SKEW.implied_volatility(
+                    jnp.asarray(math.log(kk / fwd)), jnp.asarray(T)))
+                assert abs(iv_mc - iv_in) < 0.008, (T, kk, iv_mc, iv_in)
+
+    def test_martingale(self, skew_mc):
+        s1 = skew_mc.get_asset_value(1.0)
+        mean = float(s1.get_average())
+        err = float(s1.get_standard_error())
+        assert abs(mean - S0 * math.exp(R)) < 4 * err + 0.05
+
+
+class TestDynamics:
+    def test_variance_process_is_heston(self, skew_mc):
+        # E[V_T] = theta + (v0 - theta) exp(-kappa T): the leverage
+        # touches only the S equation, V stays exactly Heston.
+        v1 = skew_mc.get_variance_value(1.0)
+        mean = float(v1.get_average())
+        an = (HESTON.theta + (HESTON.v0 - HESTON.theta)
+              * math.exp(-HESTON.kappa * 1.0))
+        assert abs(mean - an) < 0.004, (mean, an)
+
+    def test_leverage_diagnostic(self, skew_mc):
+        lev = skew_mc.leverage_at(0.5, [80.0, 90.0, 100.0, 110.0, 120.0])
+        assert lev.shape == (5,)
+        assert np.all(np.isfinite(lev)) and np.all(lev > 0.0)
+        # vol-of-vol on: E[V|k] rises where v_loc falls (rho<0), so the
+        # leverage ratio is tamer than the raw local vol — but it must
+        # stay within the clip range strictly (the clamps are slack)
+        assert np.all(lev < skew_mc.model.leverage_max)
+        assert np.all(lev > skew_mc.model.leverage_min)
+
+    def test_product_zoo_runs_under_slv(self, skew_mc):
+        from finmath_tpu.models.equity_products import (
+            AsianOption,
+            DigitalOption,
+        )
+        dig = DigitalOption(1.0, 100.0).get_value(skew_mc)
+        assert 0.2 < dig < 0.8
+        times = [0.2, 0.4, 0.6, 0.8, 1.0]
+        asian = AsianOption(times, 100.0).get_value(skew_mc)
+        out = european_call_values(skew_mc, [100.0], [1.0])
+        assert 0.0 < asian < out[0, 0, 0]
