@@ -1080,6 +1080,57 @@ def bench_exotics():
     return out
 
 
+def bench_slv():
+    """Heston-SLV particle method: the leverage function E[V|S] is
+    regressed INSIDE the Euler scan (models/slv.py), so calibration and
+    simulation are one fused program. Full vol-of-vol (xi=0.8,
+    rho=-0.7) against a skewed SSVI surface; quality = the Black-implied
+    smile of the MC vanillas vs the input surface (Gyongy round trip)."""
+    import math
+
+    import numpy as np
+
+    from finmath_tpu.models.analytic import black_implied_volatility
+    from finmath_tpu.models.heston import HestonParams
+    from finmath_tpu.models.local_vol import (SSVISurface,
+                                              european_call_values)
+    from finmath_tpu.models.slv import (HestonSLVModel,
+                                        MonteCarloHestonSLVModel)
+    from finmath_tpu.models.time_discretization import TimeDiscretization
+
+    surf = SSVISurface(sigma0=0.22, sigma_inf=0.20, tau=2.0, rho=-0.65,
+                       eta=0.6, gamma=0.4)
+    hp = HestonParams(100.0, 0.03, v0=0.04, kappa=1.5, theta=0.06,
+                      xi=0.8, rho=-0.7)
+    td = TimeDiscretization(initial=0.0, num_steps=100, step=0.01)
+    model = HestonSLVModel(hp, surf, td)   # shared => jit cache is warm
+    strikes = [85.0, 100.0, 115.0]
+    seed = iter(range(21, 40))
+
+    def run():
+        mc = MonteCarloHestonSLVModel(td, 409_600, model,
+                                      seed=next(seed))
+        return european_call_values(mc, strikes, [1.0])
+
+    run()                                  # untimed compile
+    ts, out = [], None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run()
+        ts.append(time.perf_counter() - t0)
+    fwd, df = 100.0 * math.exp(0.03), math.exp(-0.03)
+    devs = []
+    for j, k in enumerate(strikes):
+        iv_mc = black_implied_volatility(fwd, k, 1.0, out[0, j, 0] / df)
+        iv_in = float(surf.implied_volatility(
+            np.log(k / fwd), 1.0))
+        devs.append(iv_mc - iv_in)
+    return {"paths": 409_600, "steps": 100,
+            "wall_ms": round(min(ts) * 1000, 1),
+            "max_abs_iv_dev": round(float(np.abs(devs).max()), 5),
+            "iv_devs": [round(d, 5) for d in devs]}
+
+
 def _leg(detail, key, fn, attempts=2):
     """Run a secondary bench leg; one retry on failure (the remote compile
     service occasionally drops a response mid-body — observed
@@ -1116,6 +1167,7 @@ def main():
     _leg(detail, "exposure_cva", bench_exposure)
     _leg(detail, "model_zoo", bench_model_zoo)
     _leg(detail, "exotics", bench_exotics)
+    _leg(detail, "slv_particle_409600_x100", bench_slv)
 
     # the detail block is large; keep the REQUIRED summary as its own
     # compact final line (driver-parse-safe even when stdout is

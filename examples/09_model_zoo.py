@@ -1,5 +1,6 @@
-"""Model-family zoo: Heston, Merton, Variance-Gamma, Bachelier /
-displaced-lognormal, Hull-White and American Longstaff-Schwartz — the
+"""Model-family zoo: Heston, Bates SVJ, Heston-SLV, Merton,
+Variance-Gamma, Bachelier / displaced-lognormal, Hull-White and
+American Longstaff-Schwartz — the
 asset-model and short-rate families finmath-lib ships around the
 reference repo, each as ONE fused jitted pricing program with a
 host-f64 analytic oracle alongside.
@@ -135,10 +136,60 @@ def american():
           f"LS {v:.4f}+-{err:.4f} vs CRR {crr:.4f}")
 
 
+def bates():
+    from finmath_tpu.models import (BatesParams,
+                                    bates_characteristic_prices,
+                                    mc_bates_european_prices)
+    p = BatesParams(100.0, 0.03, v0=0.04, kappa=1.5, theta=0.05,
+                    xi=0.6, rho=-0.7, jump_intensity=0.6,
+                    jump_size_mean=-0.12, jump_size_std=0.18)
+    cf = bates_characteristic_prices(p, 1.5, STRIKES)
+    (px_fwd_ev), wall = timed(mc_bates_european_prices, p, 1.5, STRIKES,
+                              num_paths=500_000, num_steps=96,
+                              antithetic=True)
+    px, fwd, _ = px_fwd_ev
+    print(f"[bates]    SVJ MC 500k x 96:      {wall*1e3:6.0f} ms   "
+          f"max |MC/CF-1| {np.abs(px/cf-1).max():.2e}  fwd dev "
+          f"{fwd-100.0:+.3f}")
+
+
+def slv():
+    from finmath_tpu.models import (HestonParams, HestonSLVModel,
+                                    MonteCarloHestonSLVModel)
+    from finmath_tpu.models.local_vol import (SSVISurface,
+                                              european_call_values)
+    from finmath_tpu.models.time_discretization import TimeDiscretization
+    surf = SSVISurface(sigma0=0.22, sigma_inf=0.20, tau=2.0, rho=-0.65,
+                       eta=0.6, gamma=0.4)
+    hp = HestonParams(100.0, 0.03, v0=0.04, kappa=1.5, theta=0.06,
+                      xi=0.8, rho=-0.7)
+    td = TimeDiscretization(initial=0.0, num_steps=100, step=0.01)
+    model = HestonSLVModel(hp, surf, td)
+    seeds = iter(range(31, 40))
+
+    def run():
+        mc = MonteCarloHestonSLVModel(td, 200_000, model,
+                                      seed=next(seeds))
+        return european_call_values(mc, [90.0, 100.0, 110.0], [1.0])
+
+    out, wall = timed(run)
+    from finmath_tpu.models.analytic import black_implied_volatility
+    import math
+    fwd, df = 100.0 * math.exp(0.03), math.exp(-0.03)
+    devs = [black_implied_volatility(fwd, k, 1.0, out[0, j, 0] / df)
+            - float(surf.implied_volatility(np.log(k / fwd), 1.0))
+            for j, k in enumerate([90.0, 100.0, 110.0])]
+    print(f"[slv]      particle 200k x 100:   {wall*1e3:6.0f} ms   "
+          f"smile round-trip max |dIV| {max(abs(d) for d in devs)*1e4:.0f} bp"
+          " (vol-of-vol on)")
+
+
 if __name__ == "__main__":
     import jax
     print("devices:", jax.devices())
     heston()
+    bates()
+    slv()
     merton()
     variance_gamma()
     bachelier_and_displaced()

@@ -79,7 +79,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.conditional_expectation import _regression_fit
+from ..ops.conditional_expectation import _cholesky_solve_small
 from ..ops.precise_math import exp32, gather_component_exp32
 from ..ops.random_variable import ACC_DTYPE, FLOAT_DTYPE, RandomVariableTPU
 from .brownian_motion import BrownianMotion
@@ -123,7 +123,25 @@ def _fit_conditional_variance(k: jax.Array, v: jax.Array,
     s = jnp.sqrt(jnp.maximum(m2 - m * m, 1e-12))
     z = ((ka - m) / s).astype(FLOAT_DTYPE)
     basis = hat_basis(z, nodes)
-    beta = _regression_fit(basis, v, axis_name=axis_name)
+    # moments on the MXU in f32 at HIGHEST precision, tiny solve in f64:
+    # E[V|k] needs ~1e-3 relative accuracy (it sits under a clamp and a
+    # sqrt), so the emulated-f64 matmul of the shared LS machinery
+    # (ops/conditional_expectation) would cost ~10x for nothing — this
+    # regression runs EVERY scan step, not once per exercise date.
+    # Measured: 3.18 s -> 0.6 s warm at 409,600 paths x 100 steps.
+    gram = jnp.matmul(basis, basis.T,
+                      precision=jax.lax.Precision.HIGHEST).astype(ACC_DTYPE)
+    rhs = jnp.matmul(basis, v[:, None],
+                     precision=jax.lax.Precision.HIGHEST)[:, 0].astype(ACC_DTYPE)
+    if axis_name is not None:
+        gram = jax.lax.psum(gram, axis_name)
+        rhs = jax.lax.psum(rhs, axis_name)
+    eye = jnp.eye(gram.shape[0], dtype=ACC_DTYPE)
+    # ridge sized to the f32 moment noise floor (not the shared 1e-12):
+    # it bounds the coefficients of EMPTY wing nodes against rounding in
+    # rhs while shrinking populated nodes by ~1e-7 relative
+    beta = _cholesky_solve_small(
+        gram + 1e-8 * jnp.trace(gram) * eye, rhs)
     return beta, m, s
 
 
