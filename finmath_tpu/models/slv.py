@@ -111,9 +111,12 @@ def _fit_conditional_variance(k: jax.Array, v: jax.Array,
     mean_k, std_k) so the fit can also be EVALUATED off-cloud
     (leverage_at diagnostics). Standardization moments reduce over the
     global cloud under a sharded path axis."""
-    ka = k.astype(ACC_DTYPE)
+    # standardization moments in f32 (k is O(1) log-moneyness; the z
+    # grid only needs ~1e-4 — per-step emulated-f64 reductions are the
+    # measured cost here, not a precision need)
+    ka = k.astype(FLOAT_DTYPE)
     if axis_name is not None:
-        n = jax.lax.psum(jnp.asarray(k.shape[-1], dtype=ACC_DTYPE),
+        n = jax.lax.psum(jnp.asarray(k.shape[-1], dtype=FLOAT_DTYPE),
                          axis_name)
         m = jax.lax.psum(jnp.sum(ka), axis_name) / n
         m2 = jax.lax.psum(jnp.sum(ka * ka), axis_name) / n
@@ -121,7 +124,7 @@ def _fit_conditional_variance(k: jax.Array, v: jax.Array,
         m = jnp.mean(ka)
         m2 = jnp.mean(ka * ka)
     s = jnp.sqrt(jnp.maximum(m2 - m * m, 1e-12))
-    z = ((ka - m) / s).astype(FLOAT_DTYPE)
+    z = (ka - m) / s
     basis = hat_basis(z, nodes)
     # moments on the MXU in f32 at HIGHEST precision, tiny solve in f64:
     # E[V|k] needs ~1e-3 relative accuracy (it sits under a clamp and a
@@ -232,9 +235,12 @@ class HestonSLVModel(ProcessModel):
                                denominator_floor=self.denominator_floor)
         beta, m, s = _fit_conditional_variance(
             k, vp, self._nodes, axis_name=self.axis_name)
-        z = ((k.astype(ACC_DTYPE) - m) / s).astype(FLOAT_DTYPE)
-        cond_v = (beta @ hat_basis(z, self._nodes).astype(ACC_DTYPE)
-                  ).astype(FLOAT_DTYPE)
+        z = (k.astype(FLOAT_DTYPE) - m) / s
+        # f32 prediction matvec (HIGHEST): the per-step emulated-f64
+        # [B] x [B, paths] product was the other measured hot spot
+        cond_v = jnp.matmul(beta.astype(FLOAT_DTYPE)[None, :],
+                            hat_basis(z, self._nodes),
+                            precision=jax.lax.Precision.HIGHEST)[0]
         # relative floor: a pathological fit can dip near zero at a
         # sparse wing; never divide by (almost) nothing
         floor = 1e-3 * jnp.asarray(self.params.v0, dtype=FLOAT_DTYPE)
@@ -347,9 +353,9 @@ class MonteCarloHestonSLVModel:
             np.log(np.asarray(strikes, dtype=np.float64)
                    / (p.initial_value * math.exp(carry * float(time)))),
             dtype=FLOAT_DTYPE)
-        zq = ((kq.astype(ACC_DTYPE) - m) / s).astype(FLOAT_DTYPE)
-        cond_v = (beta @ hat_basis(zq, mdl._nodes).astype(ACC_DTYPE)
-                  ).astype(FLOAT_DTYPE)
+        zq = (kq.astype(FLOAT_DTYPE) - m) / s
+        cond_v = (beta.astype(FLOAT_DTYPE)
+                  @ hat_basis(zq, mdl._nodes))
         v_loc = local_variance(mdl.surface, kq, t,
                                denominator_floor=mdl.denominator_floor)
         floor = 1e-3 * p.v0
