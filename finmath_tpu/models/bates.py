@@ -276,7 +276,6 @@ class MonteCarloBatesModel:
         self._num_paths = int(num_paths)
         self._seed = int(seed)
         self._max_jumps = int(max_jumps_per_step)
-        n = time_discretization.get_number_of_time_steps()
         dts = np.asarray(time_discretization.get_step_sizes(),
                          dtype=np.float64)
         _jump_tail_guard(params.jump_intensity * float(dts.max()),

@@ -232,8 +232,21 @@ class LocalVolatilityModel(ProcessModel):
             t_floor = 0.5 * float(times[1] - times[0])
         self.t_floor = float(t_floor)
         # left-point coefficient times, floored away from w(.,0)=0
-        self._coeff_times = jnp.asarray(
-            np.maximum(times[:-1], self.t_floor), dtype=FLOAT_DTYPE)
+        coeff_times = np.maximum(times[:-1], self.t_floor)
+        self._coeff_times = jnp.asarray(coeff_times, dtype=FLOAT_DTYPE)
+        # value-based identity so equal-config fresh instances share the
+        # EulerScheme's compiled scan (no retrace per pricing call)
+        self._static_key = (
+            self.initial_value, self.risk_free_rate, self.dividend_yield,
+            surface, self.min_vol, self.max_vol, self.denominator_floor,
+            self.t_floor, tuple(float(t) for t in coeff_times))
+
+    def __hash__(self):
+        return hash(self._static_key)
+
+    def __eq__(self, other):
+        return (isinstance(other, LocalVolatilityModel)
+                and self._static_key == other._static_key)
 
     def get_number_of_components(self) -> int:
         return 1
