@@ -27,8 +27,187 @@ analog is JCudaUtils.java:50-53).
 """
 
 import json
+import logging
 import os
+import signal
+import threading
 import time
+
+# ---------------------------------------------------------------------------
+# driver-proof emission (round-3 VERDICT item 1)
+#
+# Round 3 produced ZERO driver-captured numbers (BENCH_r03: rc=124,
+# parsed=null) because the 13 sequential legs printed their summary only
+# after the last one and the remote compile service (5-570 s per program)
+# blew the driver's timeout. The fix is structural:
+#   * the compact summary line is (re-)emitted after the HEADLINE leg and
+#     again after EVERY subsequent leg — the driver's tail-parse always
+#     finds the latest complete detail+summary snapshot, whatever happens
+#     afterwards;
+#   * a global elapsed-time budget (FINMATH_TPU_BENCH_BUDGET_S, default
+#     1500 s) after which remaining legs are recorded as skipped_budget
+#     instead of run;
+#   * SIGTERM (what `timeout` sends first) flushes the current snapshot
+#     and exits 0;
+#   * a watchdog thread hard-exits (after flushing) if a single leg wedges
+#     inside a blocking remote compile past the budget + grace, where the
+#     Python-level SIGTERM handler cannot run.
+# The reference ships its perf tables in the README
+# (/root/reference/README.md:199-257); this is the channel equivalent.
+# ---------------------------------------------------------------------------
+
+_START = time.monotonic()
+BUDGET_S = float(os.environ.get("FINMATH_TPU_BENCH_BUDGET_S", "1500"))
+HARD_EXIT_S = float(os.environ.get("FINMATH_TPU_BENCH_HARD_EXIT_S",
+                                   str(BUDGET_S + 420.0)))
+_EMIT_LOCK = threading.Lock()
+_STATE = {"summary": None, "detail": {}}
+
+
+def _elapsed() -> float:
+    return time.monotonic() - _START
+
+
+def _emit():
+    """Print the full detail line followed by the compact summary line
+    (the REQUIRED final line) and rewrite BENCH_DETAIL.json. Reentrant-
+    safe: called after every leg, from the SIGTERM handler, and from the
+    watchdog thread."""
+    with _EMIT_LOCK:
+        summary = _STATE["summary"]
+        if summary is None:
+            summary = {"metric": "lmm_atm_swaption_calibration_100k_paths_wall",
+                       "value": None, "unit": "s", "vs_baseline": None,
+                       "error": "headline leg did not complete"}
+        detail = dict(_STATE["detail"])
+        detail["bench_elapsed_s"] = round(_elapsed(), 1)
+        detail["bench_budget_s"] = BUDGET_S
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_DETAIL.json"), "w") as fh:
+                json.dump({"summary": summary, "detail": detail}, fh, indent=1)
+        except OSError:
+            pass
+        print(json.dumps(detail), flush=True)
+        print(json.dumps(summary), flush=True)
+
+
+def _install_deadline_guards():
+    def on_term(signum, frame):  # noqa: ARG001
+        _emit()
+        os._exit(0)
+
+    try:
+        signal.signal(signal.SIGTERM, on_term)
+        signal.signal(signal.SIGINT, on_term)
+    except ValueError:
+        pass  # non-main thread (embedded use) — watchdog still covers us
+
+    def watchdog():
+        remaining = HARD_EXIT_S - _elapsed()
+        while remaining > 0:
+            time.sleep(min(remaining, 30.0))
+            remaining = HARD_EXIT_S - _elapsed()
+        _emit()
+        os._exit(0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
+
+# --- persistent-compile-cache observability (round-3 VERDICT item 5) ----
+# jax logs hits/misses at DEBUG on jax._src.compiler
+# (log_persistent_cache_hit/miss); counting them per leg answers "did the
+# cache actually protect this leg" without guessing from compile_s.
+
+class _CacheCounter(logging.Handler):
+    def __init__(self):
+        super().__init__(level=logging.DEBUG)
+        self.hits = 0
+        self.misses = 0
+
+    def emit(self, record):
+        msg = record.getMessage().lower()
+        if "compilation cache hit" in msg:
+            self.hits += 1
+        elif "compilation cache miss" in msg:
+            self.misses += 1
+
+
+_CACHE_COUNTER = _CacheCounter()
+_cache_logger = logging.getLogger("jax._src.compiler")
+_cache_logger.addHandler(_CACHE_COUNTER)
+if _cache_logger.level == logging.NOTSET or _cache_logger.level > logging.DEBUG:
+    _cache_logger.setLevel(logging.DEBUG)
+# counting needs DEBUG records, but they must NOT reach the console: the
+# driver tail-parses combined output, and a DEBUG flood would push the
+# summary lines out of its buffer
+_cache_logger.propagate = False
+
+
+# --- roofline accounting (round-3 VERDICT item 4) -----------------------
+# XLA's own cost model (compiled.cost_analysis()) supplies flops and
+# bytes-accessed; dividing by the measured wall gives achieved rates vs
+# the v5e (TPU v5 lite) peaks. Notes: XLA counts a transcendental as one
+# flop, so mfu is a LOWER bound for exp/log-heavy Monte-Carlo kernels;
+# the bf16 MXU peak is quoted, while these kernels run f32 on the VPU —
+# the honest usage of `mfu` here is cross-round trend tracking, and
+# `bound` is the decision label: rtt (wall ~ the ~30-40 ms tunnel RTT),
+# hbm (memory time dominates the compute estimate), or compute.
+
+V5E_PEAK_BF16_TFLOPS = 197.0
+V5E_PEAK_HBM_GBS = 819.0
+TUNNEL_RTT_S = 0.030
+
+
+def _xla_cost(jitted, *args, static_argnums=None, **kwargs):
+    """flops / bytes-accessed of a jitted program via AOT lowering; None
+    when the backend or a custom call (Pallas) hides them."""
+    try:
+        cost = jitted.lower(*args, **kwargs).compile().cost_analysis()
+        d = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(d.get("flops", 0.0))
+        bytes_ = float(d.get("bytes accessed", 0.0))
+        if flops <= 0.0 and bytes_ <= 0.0:
+            return None
+        return {"flops": flops, "bytes_accessed": bytes_}
+    except Exception:
+        return None
+
+
+def _roofline(cost, wall_s, flops_override=None, trip_count=1):
+    """Achieved rates + bound label for one leg. ``flops_override`` lets
+    a leg supply an analytic count when XLA's is unavailable (Pallas).
+    ``trip_count``: XLA's cost model counts a while/scan body ONCE
+    (measured: identical flops for 10- and 100-step scans), so
+    scan-dominated programs pass their iteration count here; the
+    non-loop prologue is over-counted by the multiply, which is noise
+    for these path-axis programs."""
+    if cost is None and flops_override is None:
+        return None
+    flops = flops_override if flops_override is not None else cost["flops"]
+    flops *= trip_count
+    bytes_ = cost["bytes_accessed"] * trip_count if cost else None
+    out = {"flops": flops, "trip_count": trip_count,
+           "wall_s": round(wall_s, 5)}
+    if flops:
+        tflops = flops / wall_s / 1e12
+        out["achieved_tflops"] = round(tflops, 3)
+        out["mfu_vs_bf16_peak"] = round(tflops / V5E_PEAK_BF16_TFLOPS, 5)
+    if bytes_:
+        gbs = bytes_ / wall_s / 1e9
+        out["bytes_accessed"] = bytes_
+        out["achieved_hbm_gbs"] = round(gbs, 2)
+        out["hbm_utilization"] = round(gbs / V5E_PEAK_HBM_GBS, 4)
+    # bound label: compare the chip-time estimates against the wall
+    t_mem = (bytes_ / (V5E_PEAK_HBM_GBS * 1e9)) if bytes_ else 0.0
+    t_cmp = flops / (V5E_PEAK_BF16_TFLOPS * 1e12) if flops else 0.0
+    if wall_s < 1.75 * TUNNEL_RTT_S and max(t_mem, t_cmp) < 0.5 * wall_s:
+        out["bound"] = "rtt"
+    elif t_mem >= t_cmp:
+        out["bound"] = "hbm"
+    else:
+        out["bound"] = "compute"
+    return out
 
 
 def _warm_concurrently(legs):
@@ -136,7 +315,11 @@ def bench_mc_black_scholes():
     """Secondary config: MC Black-Scholes 1M paths x 100 steps
     (reference: 0.09 s GPU / 4.0 s CPU, README.md:212-215). Reports both
     the XLA-scan pricer and the fused Pallas kernel."""
-    from finmath_tpu.models.black_scholes import mc_european_call_price
+    import jax
+    import jax.numpy as jnp
+
+    from finmath_tpu.models.black_scholes import (_mc_bs_price_kernel,
+                                                  mc_european_call_price)
     from finmath_tpu.ops.kernels import mc_european_call_price_pallas
 
     n_paths, n_steps = 1_000_000, 100
@@ -151,6 +334,21 @@ def bench_mc_black_scholes():
             price = fn(seed, n_paths, n_steps, *args)
             times.append(time.perf_counter() - t0)
         out[name] = {"wall_s": round(min(times), 5), "price": round(price, 6)}
+    # roofline (round-3 VERDICT item 4): XLA cost model of the fused scan
+    # program; the Pallas kernel computes the same math, so its row reuses
+    # the flops count (its bytes differ — VMEM-resident, so less HBM).
+    cost = _xla_cost(_mc_bs_price_kernel, jax.random.PRNGKey(1), n_paths,
+                     n_steps, jnp.dtype(jnp.float32),
+                     *(jnp.float64(a) for a in args))
+    out["roofline_scan"] = _roofline(cost, out["scan"]["wall_s"],
+                                     trip_count=n_steps)
+    if cost is not None:
+        out["roofline_pallas"] = _roofline(
+            None, out["pallas"]["wall_s"], flops_override=cost["flops"],
+            trip_count=n_steps)
+        out["roofline_pallas"]["note"] = (
+            "flops from the equivalent XLA scan program (same math); "
+            "bytes not comparable — the Pallas kernel keeps paths in VMEM")
     out["reference_gpu_s"] = 0.09
     out["reference_cpu_s"] = 4.00
     return out
@@ -482,10 +680,16 @@ def bench_lmm_pricer_kernels():
         7, PATHS, a.model.num_libors, e, periods, e, vol_table,
         np.asarray(a.model.initial_forwards), np.asarray(a.model.deltas),
         0.5, strike))
+    cost1 = _xla_cost(eng1._values_fn, jnp.asarray(p0, dtype=jnp.float64))
     out["atm_1f"] = {
         "engine_ms": round(t_eng * 1000, 2), "kernel_ms": round(t_k * 1000, 2),
         "speedup": round(t_eng / t_k, 2),
         "rel_dev": round(abs(v_k - v_eng) / abs(v_eng), 5),
+        "roofline_engine": _roofline(cost1, t_eng, trip_count=e),
+        "roofline_kernel": None if cost1 is None else dict(
+            _roofline(None, t_k, flops_override=cost1["flops"],
+                      trip_count=e),
+            note="flops from the equivalent XLA engine program"),
     }
 
     # ---- stoch-vol benchmark configuration (5 factors + V process) -----
@@ -532,12 +736,18 @@ def bench_lmm_pricer_kernels():
         np.asarray(b.model.deltas), 0.5, strike, float(p0[5]), nu, rho))
     same_normals_rel = abs(v_k_sn - v_eng_sn) / abs(v_eng_sn)
 
+    cost5 = _xla_cost(eng5._values_fn, jnp.asarray(p0, dtype=jnp.float64))
     out["stochvol_5f"] = {
         "engine_ms": round(t_eng * 1000, 2), "kernel_ms": round(t_k * 1000, 2),
         "speedup": round(t_eng / t_k, 2),
         "rel_dev": round(abs(v_k - v_eng) / abs(v_eng), 5),
         "same_normals_rel_dev": float(same_normals_rel),
         "same_normals_pass": bool(same_normals_rel < 1e-5),
+        "roofline_engine": _roofline(cost5, t_eng, trip_count=e),
+        "roofline_kernel": None if cost5 is None else dict(
+            _roofline(None, t_k, flops_override=cost5["flops"],
+                      trip_count=e),
+            note="flops from the equivalent XLA engine program"),
     }
     return out
 
@@ -1125,63 +1335,262 @@ def bench_slv():
         iv_in = float(surf.implied_volatility(
             np.log(k / fwd), 1.0))
         devs.append(iv_mc - iv_in)
+    # roofline of the particle scan itself (the in-scan E[V|S] regression
+    # is where the MXU moments live)
+    import jax.numpy as jnp
+
+    from finmath_tpu.models.process import _euler_scan_jit
+
+    mc = MonteCarloHestonSLVModel(td, 409_600, model, seed=99)
+    cost = _xla_cost(
+        _euler_scan_jit, model, model.initial_state(409_600),
+        mc.brownian.increments,
+        jnp.asarray(td.get_step_sizes()))
     return {"paths": 409_600, "steps": 100,
             "wall_ms": round(min(ts) * 1000, 1),
             "max_abs_iv_dev": round(float(np.abs(devs).max()), 5),
-            "iv_devs": [round(d, 5) for d in devs]}
+            "iv_devs": [round(d, 5) for d in devs],
+            "roofline_scan": _roofline(cost, min(ts), trip_count=100)}
 
 
-def _leg(detail, key, fn, attempts=2):
-    """Run a secondary bench leg; one retry on failure (the remote compile
-    service occasionally drops a response mid-body — observed
-    'INTERNAL: remote_compile: response body closed before all bytes were
-    read' killing an otherwise healthy leg; the retry recompiles from the
-    persistent cache). Secondary legs must never break the headline."""
+def bench_credit_wwr():
+    """Wrong-way-risk CVA (models/credit.py): joint Hull-White x CIR++
+    scan at 500,000 paths x 20 semiannual dates x 4 CIR substeps with
+    rho=0.6, ONE packed transfer (CVA, independent control, 20 bucket
+    contributions, 20 survival diagnostics). finmath-lib's exposure/CVA
+    examples stop at deterministic hazards; this is the doubly-stochastic
+    extension."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from finmath_tpu.models.credit import (CIRPPIntensityModel,
+                                           WrongWayRiskCVAEngine, _wwr_scan,
+                                           bootstrap_survival_curve,
+                                           par_swap_rate)
+    from finmath_tpu.models.curves import DiscountCurve
+    from finmath_tpu.models.hull_white import HullWhiteModel
+
+    t_grid = np.arange(0.0, 31.0)
+    dc = DiscountCurve(t_grid, np.exp(-0.03 * t_grid))
+    curve = bootstrap_survival_curve(
+        dc, [1.0, 3.0, 5.0, 7.0, 10.0],
+        [0.006, 0.009, 0.012, 0.014, 0.016], recovery=0.4)
+    intensity = CIRPPIntensityModel(curve, kappa=0.5, theta=0.015,
+                                    sigma=0.08, y0=0.01)
+    hw = HullWhiteModel(dc, mean_reversion=0.1, volatility=0.01)
+    pay = np.arange(1, 21) * 0.5
+    k = par_swap_rate(dc, pay)
+    eng = WrongWayRiskCVAEngine(hw, intensity, pay, k, num_paths=500_000,
+                                correlation=0.6, recovery=0.4, seed=31,
+                                antithetic=True, substeps=4)
+    t0 = time.perf_counter()
+    res = eng.compute()                    # compile + run
+    compile_s = time.perf_counter() - t0
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = eng.compute()
+        ts.append(time.perf_counter() - t0)
+    wall = min(ts)
+    surv_err = float(np.max(np.abs(
+        res.expected_survival
+        - curve.get_survival_probability(res.observation_times))))
+    im = eng.intensity
+    cost = _xla_cost(_wwr_scan, jax.random.PRNGKey(eng.seed),
+                     eng.num_paths, eng.substeps, eng.antithetic,
+                     *eng._consts, jnp.float64(eng.rho),
+                     jnp.float64(im.kappa), jnp.float64(im.theta),
+                     jnp.float64(im.sigma), jnp.float64(im.y0))
+    return {
+        "paths": 500_000, "observation_dates": 20, "cir_substeps": 4,
+        "wall_ms": round(wall * 1000, 2), "compile_s": round(compile_s, 3),
+        "cva_bp": round(1e4 * res.cva, 3),
+        "cva_independent_bp": round(1e4 * res.cva_independent, 3),
+        "wwr_ratio": round(res.wwr_ratio, 4),
+        "survival_diag_max_err": surv_err,
+        "contributions_sum_to_cva": bool(
+            abs(float(np.sum(res.contributions)) - res.cva)
+            < 1e-12 + 1e-9 * abs(res.cva)),
+        "roofline_scan": _roofline(cost, wall,
+                                   trip_count=20 * eng.substeps),
+    }
+
+
+def bench_portfolio_credit():
+    """One-factor Gaussian-copula portfolio credit (models/
+    portfolio_credit.py): 125 names x 1,000,000 paths, 10 horizons of
+    (tranche ETL + stderr + 3 kth-to-default probabilities) from ONE
+    latent matrix in one packed transfer; MC validated against the exact
+    Andersen-Sidenius-Basu recursion in-leg."""
+    import numpy as np
+
+    from finmath_tpu.models.credit import SurvivalCurve
+    from finmath_tpu.models.portfolio_credit import (GaussianCopulaPortfolio,
+                                                     GaussianCopulaSimulation)
+
+    rng = np.random.default_rng(1)
+    hazards = rng.uniform(0.005, 0.06, 125)
+    betas = rng.uniform(0.3, 0.7, 125)
+    pf = GaussianCopulaPortfolio(
+        [SurvivalCurve([0.0], [h]) for h in hazards], betas=betas,
+        recoveries=0.4, notionals=np.full(125, 1 / 125))
+    sim = GaussianCopulaSimulation(pf, num_paths=1_000_000, seed=7)
+    times = np.arange(1.0, 11.0)
+
+    t0 = time.perf_counter()
+    st = sim.tranche_statistics(times, 0.03, 0.07, ks=(1, 5, 10))
+    compile_s = time.perf_counter() - t0
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        st = sim.tranche_statistics(times, 0.03, 0.07, ks=(1, 5, 10))
+        ts.append(time.perf_counter() - t0)
+    ex5 = pf.expected_tranche_loss(5.0, 0.03, 0.07)
+    dev_sigma = abs(st["etl"][4] - ex5) / max(st["etl_stderr"][4], 1e-12)
+    return {
+        "names": 125, "paths": 1_000_000, "horizons": 10,
+        "wall_ms": round(min(ts) * 1000, 2), "compile_s": round(compile_s, 3),
+        "etl_5y": float(st["etl"][4]), "etl_5y_exact": float(ex5),
+        "etl_dev_sigma_vs_exact_recursion": round(float(dev_sigma), 2),
+        "kth_prob_5y": [round(float(p), 6) for p in st["kth_prob"][4]],
+    }
+
+
+def bench_cross_currency():
+    """Exact two-economy cross-currency model (models/cross_currency.py):
+    1,000,000 paths x 20 semiannual steps of 5-state closed-form joint
+    transitions; FX option strikes vs the hump-vol closed form and the
+    float-float CCS par identities, each ONE fused program + one packed
+    transfer."""
+    import numpy as np
+
+    from finmath_tpu.models.cross_currency import (CrossCurrencyModel,
+                                                   CrossCurrencySimulation)
+    from finmath_tpu.models.curves import DiscountCurve
+    from finmath_tpu.models.hull_white import HullWhiteModel
+    from finmath_tpu.models.time_discretization import TimeDiscretization
+
+    t_grid = np.arange(0.0, 31.0)
+    dc_d = DiscountCurve(t_grid, np.exp(-0.03 * t_grid))
+    dc_f = DiscountCurve(t_grid, np.exp(-0.01 * t_grid))
+    m = CrossCurrencyModel(HullWhiteModel(dc_d, 0.1, 0.01),
+                           HullWhiteModel(dc_f, 0.05, 0.008),
+                           fx_spot=1.25, fx_vol=0.10, rho_df=0.3,
+                           rho_dx=-0.2, rho_fx=0.25)
+    td = TimeDiscretization(initial=0.0, num_steps=20, step=0.5)
+    t0 = time.perf_counter()
+    sim = CrossCurrencySimulation(m, td, num_paths=1_000_000, seed=5,
+                                  antithetic=True)
+    strikes = [1.0, 1.25, 1.5]
+    fwd, prices, se = sim.mc_fx_option_prices(5.0, strikes)
+    compile_s = time.perf_counter() - t0
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fwd, prices, se = sim.mc_fx_option_prices(5.0, strikes)
+        ts.append(time.perf_counter() - t0)
+    cf = np.array([m.fx_option(5.0, kk) for kk in strikes])
+    dev_sigma = float(np.max(np.abs(np.asarray(prices) - cf)
+                             / np.maximum(np.asarray(se), 1e-12)))
+    t0 = time.perf_counter()
+    dom, fgn = sim.mc_ccs_legs(np.arange(1, 11) * 1.0)
+    ccs_first_s = time.perf_counter() - t0
+    ts2 = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dom, fgn = sim.mc_ccs_legs(np.arange(1, 11) * 1.0)
+        ts2.append(time.perf_counter() - t0)
+    return {
+        "paths": 1_000_000, "steps": 20,
+        "fx_option_wall_ms": round(min(ts) * 1000, 2),
+        "compile_s": round(compile_s, 3),
+        "fx_option_max_dev_sigma_vs_closed_form": round(dev_sigma, 2),
+        "fx_forward_rel_err": float(fwd / m.fx_forward(5.0) - 1.0),
+        "ccs_wall_ms": round(min(ts2) * 1000, 2),
+        "ccs_first_call_s": round(ccs_first_s, 3),
+        "ccs_domestic_leg_par_dev": float(dom - 1.0),
+        "ccs_foreign_leg_par_dev": float(fgn / 1.25 - 1.0),
+    }
+
+
+def _leg(key, fn, attempts=2):
+    """Run one bench leg with the driver-proofing contract:
+    * skipped entirely (recorded as skipped_budget) once the global
+      elapsed budget is spent — compile latency through the remote
+      service is unpredictable (5-570 s per program), so later legs must
+      never be able to starve the already-collected evidence;
+    * one retry on failure (the service occasionally drops a response
+      mid-body — 'INTERNAL: remote_compile: response body closed before
+      all bytes were read' — and the retry recompiles from the
+      persistent cache);
+    * per-leg wall + persistent-cache hit/miss counts recorded;
+    * the full detail+summary snapshot is re-emitted after EVERY leg so
+      the driver's tail-parse always sees the latest complete state."""
+    detail = _STATE["detail"]
+    if _elapsed() > BUDGET_S:
+        detail[key] = {"skipped_budget": round(_elapsed(), 1)}
+        _emit()
+        return
+    h0, m0 = _CACHE_COUNTER.hits, _CACHE_COUNTER.misses
+    t0 = time.monotonic()
     for attempt in range(attempts):
         try:
-            detail[key] = fn()
-            return
+            res = fn()
+            if isinstance(res, dict):
+                res["leg_wall_s"] = round(time.monotonic() - t0, 1)
+                res["persistent_cache"] = {
+                    "hits": _CACHE_COUNTER.hits - h0,
+                    "misses": _CACHE_COUNTER.misses - m0}
+            detail[key] = res
+            break
         except Exception as exc:  # noqa: BLE001 — report, don't crash
             detail[f"{key}_error"] = f"attempt {attempt + 1}: {exc}"
+    _emit()
 
 
 def main():
+    _install_deadline_guards()
     for attempt in range(2):     # headline retry: same transient-compile
         try:                     # failure mode as the secondary legs
             result = bench_lmm_atm_calibration()
             break
-        except Exception:
+        except Exception as exc:
             if attempt:
+                _STATE["detail"]["headline_error"] = str(exc)
+                _emit()
                 raise
-    detail = result["detail"]
-    _leg(detail, "mc_black_scholes_1m_100steps", bench_mc_black_scholes)
-    _leg(detail, "stochvol_calibration",
-         lambda: [bench_stochvol_calibration(81_920),
-                  bench_stochvol_calibration(163_840)])
-    _leg(detail, "brownian_generation_100x_1m_x10", bench_brownian_generation)
-    _leg(detail, "parity_1e6", bench_parity_1e6)
-    _leg(detail, "lmm_pricer_kernels_409600", bench_lmm_pricer_kernels)
-    _leg(detail, "eager_ops_100k", bench_eager_ops)
-    _leg(detail, "bermudan_ls_100k", bench_bermudan)
-    _leg(detail, "aad_greeks", bench_aad_greeks)
-    _leg(detail, "exposure_cva", bench_exposure)
-    _leg(detail, "model_zoo", bench_model_zoo)
-    _leg(detail, "exotics", bench_exotics)
-    _leg(detail, "slv_particle_409600_x100", bench_slv)
-
-    # the detail block is large; keep the REQUIRED summary as its own
-    # compact final line (driver-parse-safe even when stdout is
-    # tail-truncated) and emit the full detail on the line before it
-    # plus a file for inspection
     detail = result.pop("detail")
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json"), "w") as fh:
-            json.dump({"summary": result, "detail": detail}, fh, indent=1)
-    except OSError:
-        pass
-    print(json.dumps(detail))
-    print(json.dumps(result))
+    detail["persistent_cache_headline"] = {
+        "hits": _CACHE_COUNTER.hits, "misses": _CACHE_COUNTER.misses}
+    _STATE["summary"] = result
+    _STATE["detail"] = detail
+    _emit()                      # driver-visible from this point onward
+
+    # priority order (round-3 VERDICT item 1d/9): the reference's own
+    # benchmark and the parity contract first, then the strongest
+    # round-3 capability legs, then the rest — whatever the compile
+    # service does, the captured prefix is the evidence that matters.
+    _leg("stochvol_calibration_81920",
+         lambda: bench_stochvol_calibration(81_920))
+    _leg("parity_1e6", bench_parity_1e6)
+    _leg("slv_particle_409600_x100", bench_slv)
+    _leg("credit_wwr_cva_500k_x20", bench_credit_wwr)
+    _leg("portfolio_credit_125n_1m", bench_portfolio_credit)
+    _leg("cross_currency_1m_x20", bench_cross_currency)
+    _leg("mc_black_scholes_1m_100steps", bench_mc_black_scholes)
+    _leg("stochvol_calibration_163840",
+         lambda: bench_stochvol_calibration(163_840))
+    _leg("lmm_pricer_kernels_409600", bench_lmm_pricer_kernels)
+    _leg("brownian_generation_100x_1m_x10", bench_brownian_generation)
+    _leg("eager_ops_100k", bench_eager_ops)
+    _leg("bermudan_ls_100k", bench_bermudan)
+    _leg("aad_greeks", bench_aad_greeks)
+    _leg("exposure_cva", bench_exposure)
+    _leg("model_zoo", bench_model_zoo)
+    _leg("exotics", bench_exotics)
+    _emit()
 
 
 if __name__ == "__main__":
