@@ -427,7 +427,7 @@ class CIRPPSimulation:
 @partial(jax.jit, static_argnums=(1, 2, 3))
 def _wwr_scan(key, num_paths: int, substeps: int, antithetic: bool,
               e_a, b_dt, lx, lyx, ly, dts, rho,
-              kappa, theta, sigma, y0):
+              kappa, theta, sigma, y0, path_zero=None):
     """One scan advancing (x, Y) by the exact Hull-White transition and
     (y, Lambda_y) by full-truncation CIR Euler, with the credit normals
     correlated to the RATE normal z1. Each of the ``substeps`` credit
@@ -437,7 +437,16 @@ def _wwr_scan(key, num_paths: int, substeps: int, antithetic: bool,
     corr(sum_k z_c_k / sqrt(substeps), z1) = rho exactly — the credit
     Brownian increment over the full step has correlation rho with the
     rate increment regardless of the substep count.
-    Returns histories x, Y [steps+1, paths] (f32) and Lambda_y (f64)."""
+    Returns histories x, Y [steps+1, paths] (f32) and Lambda_y (f64).
+
+    ``path_zero``: optional [num_paths] f32 zeros used as the state
+    template. Passing a mesh-sharded zeros array (NamedSharding over the
+    path axis) partitions the whole scan over the device mesh through
+    XLA's SPMD propagation — the counter-based Threefry draws partition
+    too (jax_threefry_partitionable), so the meshed simulation runs the
+    IDENTICAL stream as the single-chip one (1-ULP fusion differences
+    only; the antithetic mirror costs one boundary collective per step —
+    fold keys per device instead if that ever dominates on real ICI)."""
     half = num_paths // 2 if antithetic else num_paths
     r_share = rho / jnp.sqrt(jnp.float64(substeps))
     idio = jnp.sqrt(1.0 - r_share * r_share)
@@ -482,10 +491,12 @@ def _wwr_scan(key, num_paths: int, substeps: int, antithetic: bool,
 
     steps = e_a.shape[0]
     keys = jax.random.split(key, steps)
-    x0 = jnp.zeros((num_paths,), dtype=FLOAT_DTYPE)
-    yy0 = jnp.zeros((num_paths,), dtype=FLOAT_DTYPE)
-    y_init = jnp.full((num_paths,), y0, dtype=FLOAT_DTYPE)
-    lam0 = jnp.zeros((num_paths,), dtype=ACC_DTYPE)
+    if path_zero is None:
+        path_zero = jnp.zeros((num_paths,), dtype=FLOAT_DTYPE)
+    x0 = path_zero
+    yy0 = path_zero
+    y_init = path_zero + y0.astype(FLOAT_DTYPE)
+    lam0 = path_zero.astype(ACC_DTYPE)
     _, (xs, yys, lams) = jax.lax.scan(
         step, (x0, yy0, y_init, lam0), (keys, e_a, b_dt, lx, lyx, ly, dts))
     return (jnp.concatenate([x0[None], xs], axis=0),
@@ -571,11 +582,25 @@ class WrongWayRiskCVAEngine:
                  recovery: float = 0.4, correlation: float = 0.0,
                  seed: int = 777, antithetic: bool = True,
                  substeps: int = 4,
-                 time_discretization: Optional[TimeDiscretization] = None):
+                 time_discretization: Optional[TimeDiscretization] = None,
+                 mesh=None, path_axis: str = "paths"):
+        """``mesh``: optional ``jax.sharding.Mesh`` — the Monte-Carlo
+        path axis shards over it (NamedSharding on the scan state, XLA
+        SPMD partitions the joint rate-credit scan and turns the
+        collector's means into all-reduces over ICI); the 500k x 20-date
+        workload is exactly the kind that outgrows one chip's HBM first
+        (SURVEY.md §5 multi-chip extension row). Identical stream as
+        unmeshed (see ``_wwr_scan``)."""
         if not -1.0 <= correlation <= 1.0:
             raise ValueError("correlation must be in [-1, 1]")
         if antithetic and num_paths % 2:
             raise ValueError("antithetic needs an even num_paths")
+        if mesh is not None and num_paths % mesh.devices.size:
+            raise ValueError(
+                f"num_paths {num_paths} must be divisible by the mesh "
+                f"size {mesh.devices.size}")
+        self.mesh = mesh
+        self.path_axis = path_axis
         pt = np.asarray(payment_times, dtype=np.float64)
         if pt.ndim != 1 or pt.size < 1 or pt[0] <= 0 \
                 or np.any(np.diff(pt) <= 0):
@@ -663,11 +688,18 @@ class WrongWayRiskCVAEngine:
         """Run the joint simulation and collect the CVA decomposition —
         two device programs, ONE packed host transfer."""
         im = self.intensity
+        path_zero = jnp.zeros((self.num_paths,), dtype=FLOAT_DTYPE)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            path_zero = jax.device_put(
+                path_zero,
+                NamedSharding(self.mesh, PartitionSpec(self.path_axis)))
         xs, yys, lams = _wwr_scan(
             jax.random.PRNGKey(self.seed), self.num_paths, self.substeps,
             self.antithetic, *self._consts, jnp.float64(self.rho),
             jnp.float64(im.kappa), jnp.float64(im.theta),
-            jnp.float64(im.sigma), jnp.float64(im.y0))
+            jnp.float64(im.sigma), jnp.float64(im.y0),
+            path_zero=path_zero)
         full = np.concatenate([[0], self._obs_idx])
         idx = jnp.asarray(full)
         packed = np.asarray(_wwr_collect(

@@ -225,13 +225,20 @@ class CrossCurrencyModel:
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnums=(1, 2))
-def _xccy_scan(key, num_paths: int, antithetic: bool, chol):
+def _xccy_scan(key, num_paths: int, antithetic: bool, chol,
+               path_zero=None):
     """Scan of the exact joint transition. ``chol`` is [steps, 5, 5+1]:
     the per-step lower Cholesky factor of the shock covariance with the
     e^{-a dt} decay pair appended in the last column's first rows
     (packed to keep the scan xs a single array). State
     (x_d, Y_d, x_f, Y_f, Z_x); returns the [steps+1, 5, paths] f32
-    history."""
+    history.
+
+    ``path_zero``: optional [num_paths] f32 zeros template; a
+    mesh-sharded one (NamedSharding over the path axis) partitions the
+    scan and every downstream pricing core over the device mesh via XLA
+    SPMD propagation, on the identical Threefry stream (same convention
+    as ``credit._wwr_scan``)."""
     half = num_paths // 2 if antithetic else num_paths
 
     def step(carry, inp):
@@ -255,7 +262,8 @@ def _xccy_scan(key, num_paths: int, antithetic: bool, chol):
 
     steps = chol.shape[0]
     keys = jax.random.split(key, steps)
-    zero = jnp.zeros((num_paths,), dtype=FLOAT_DTYPE)
+    zero = (jnp.zeros((num_paths,), dtype=FLOAT_DTYPE)
+            if path_zero is None else path_zero)
     carry0 = (zero, zero, zero, zero, zero)
     _, hist = jax.lax.scan(step, carry0, (keys, chol))
     return jnp.concatenate([jnp.stack(carry0)[None], hist], axis=0)
@@ -329,9 +337,20 @@ class CrossCurrencySimulation:
 
     def __init__(self, model: CrossCurrencyModel,
                  time_discretization: TimeDiscretization, num_paths: int,
-                 seed: int = 1618, antithetic: bool = False):
+                 seed: int = 1618, antithetic: bool = False,
+                 mesh=None, path_axis: str = "paths"):
+        """``mesh``: optional ``jax.sharding.Mesh`` — shards the path
+        axis of the joint simulation and every downstream pricing /
+        exposure core (their means become XLA all-reduces over ICI) on
+        the identical Threefry stream as the unmeshed simulation."""
         if antithetic and num_paths % 2:
             raise ValueError("antithetic needs an even num_paths")
+        if mesh is not None and num_paths % mesh.devices.size:
+            raise ValueError(
+                f"num_paths {num_paths} must be divisible by the mesh "
+                f"size {mesh.devices.size}")
+        self.mesh = mesh
+        self.path_axis = path_axis
         self.model = model
         self.td = time_discretization
         self.num_paths = int(num_paths)
@@ -375,9 +394,14 @@ class CrossCurrencySimulation:
             m = m * math.exp(-a_f * dt) - drift * _int_e(a_f, dt)
             m_hist[i + 1] = m
         self._m, self._big_m = m_hist, big_m
+        path_zero = jnp.zeros((self.num_paths,), dtype=FLOAT_DTYPE)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            path_zero = jax.device_put(
+                path_zero, NamedSharding(mesh, PartitionSpec(path_axis)))
         self._hist = _xccy_scan(jax.random.PRNGKey(self.seed),
                                 self.num_paths, self.antithetic,
-                                jnp.asarray(packed))
+                                jnp.asarray(packed), path_zero=path_zero)
 
         st_d = np.array([model.domestic.gaussian_state(t) for t in times])
         st_f = np.array([model.foreign.gaussian_state(t) for t in times])

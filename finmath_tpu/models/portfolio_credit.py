@@ -327,9 +327,23 @@ class GaussianCopulaSimulation:
 
     def __init__(self, portfolio: GaussianCopulaPortfolio,
                  num_paths: int = 200_000, seed: int = 4242,
-                 antithetic: bool = True):
+                 antithetic: bool = True,
+                 mesh=None, path_axis: str = "paths"):
+        """``mesh``: optional ``jax.sharding.Mesh`` — the [names, paths]
+        latent matrix shards over the path axis (a 125-name x 1M-path f32
+        latent is 0.5 GB; the copula workload is the first credit piece
+        to outgrow one chip's HBM at index-tranche book scale), and the
+        horizon scan's tranche statistics become XLA all-reduces over
+        ICI. The latent VALUES are identical to the unmeshed simulation —
+        meshed results differ only by reduction order."""
         if antithetic and num_paths % 2:
             raise ValueError("antithetic needs an even num_paths")
+        if mesh is not None and num_paths % mesh.devices.size:
+            raise ValueError(
+                f"num_paths {num_paths} must be divisible by the mesh "
+                f"size {mesh.devices.size}")
+        self.mesh = mesh
+        self.path_axis = path_axis
         self.portfolio = portfolio
         self.num_paths = int(num_paths)
         self.seed = int(seed)
@@ -345,6 +359,11 @@ class GaussianCopulaSimulation:
         b = jnp.asarray(portfolio.betas,
                         dtype=jnp.float32)[:, None]
         self._lat = (b * z + jnp.sqrt(1.0 - b * b) * eps)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            self._lat = jax.device_put(
+                self._lat,
+                NamedSharding(mesh, PartitionSpec(None, path_axis)))
 
     def tranche_statistics(self, times, attachment: float,
                            detachment: float, ks: Sequence[int] = ()):
