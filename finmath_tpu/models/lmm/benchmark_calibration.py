@@ -71,6 +71,14 @@ CURATED_BASINS = [
     # 81,920 -> 0.39-0.57% on fresh path sets)
     np.asarray([0.21772482, -0.00784758, -0.1260687, 0.14290155,
                 -0.14987065, 1.40476417, -1.45021006, -0.7604945]),
+    # the round-3 QMC full-multistart optimum (plain-sobol seed-0
+    # realization, rms19 0.2007% there; benchmarks/results_qmc_81920
+    # .json) — the deepest known point of the dominant basin, and the
+    # usual winner of the continuation polish across scramblings
+    np.asarray([0.21622999389217004, -0.00799350760968651,
+                -0.12647697331516541, 0.1308191521190843,
+                -0.08915743870438382, 1.401374780385544,
+                -1.4923475940894546, -0.7330125232238609]),
     # deeper 81,920-path point from the extended search (rms19 0.219%
     # there, but overfits other path sets — polished only if it actually
     # improves on the primary)
@@ -141,6 +149,20 @@ class BenchmarkCalibrationSetup:
                 scan_mode=eng.scan_mode, antithetic=eng.antithetic,
                 increments=inc)
         return self._sweep_engine
+
+    def set_increments(self, inc):
+        """Swap the injected Brownian realization (engine + the sweep
+        engine's path prefix) WITHOUT recompiling: the jitted programs
+        take the increments as a traced argument
+        (``LMMValuationEngine.set_increments``). The multi-realization
+        calibration row (bench.py) re-runs the full pipeline on K
+        independent Sobol scramblings through ONE compiled program set."""
+        inc = np.asarray(inc)
+        self.engine.set_increments(inc)
+        if (self._sweep_engine is not None
+                and self._sweep_engine is not self.engine):
+            self._sweep_engine.set_increments(
+                inc[:, :, :self._sweep_engine.num_paths])
 
     def calibrate(self, max_iterations: int = 30, accuracy: float = 1e-6,
                   lambda0: float = 0.1) -> LMResult:

@@ -1084,7 +1084,7 @@ class NettingSetExposureEngine:
         v, g = self._cva_delta_fn(
             jnp.asarray(params, dtype=jnp.float64),
             jnp.asarray(self.model.initial_forwards, dtype=jnp.float64),
-            jnp.asarray(pd))
+            jnp.asarray(pd), self.engine._inc_dev)
         return float(v), np.asarray(g)
 
     # ------------------------------------------------------------------

@@ -51,6 +51,7 @@ from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 import numpy as np
 
 from ...ops.random_variable import ACC_DTYPE, FLOAT_DTYPE
@@ -621,11 +622,38 @@ class LMMValuationEngine:
                     f"[steps in {s_need}..{self.num_steps}, rng_factors="
                     f"{self._n_rng_factors}, paths={self.num_paths}]")
 
+        self._inc_dev = (jnp.asarray(self._inc_np)
+                         if self._inc_np is not None else None)
         self._residual_fn = self._wrap_public(self._build_residual_fn())
         self._jac_fn = self._wrap_public(self._build_residual_fn(),
                                          transform=jax.jacfwd)
         self._values_fn = self._wrap_public(self._build_values_fn())
         self._implied_fn = self._wrap_public(self._build_implied_fn())
+
+    # ------------------------------------------------------------------
+    def set_increments(self, inc):
+        """Swap the injected Brownian realization WITHOUT recompiling.
+
+        The jitted public programs take the increments as a traced
+        ARGUMENT (see ``_wrap_public``), so a same-shape swap reuses the
+        already-compiled program — the multi-realization calibration row
+        (bench.py) and any QMC re-scrambling loop depend on this being
+        free. Only valid on an engine built with ``increments=``."""
+        if self._inc_np is None:
+            raise ValueError(
+                "engine was built without injected increments; build with "
+                "increments= to use realization swapping")
+        inc = np.asarray(inc)
+        if inc.shape != self._inc_np.shape:
+            raise ValueError(
+                f"replacement increments shape {inc.shape} != engine's "
+                f"{self._inc_np.shape}")
+        if inc.dtype != self._inc_np.dtype:
+            raise ValueError(
+                f"replacement increments dtype {inc.dtype} != engine's "
+                f"{self._inc_np.dtype}")
+        self._inc_np = inc
+        self._inc_dev = jnp.asarray(inc)
 
     # ------------------------------------------------------------------
     def _wrap_public(self, core, transform=None):
@@ -634,37 +662,44 @@ class LMMValuationEngine:
 
         * no injection: ``inc`` is closed over as None (the sim uses its
           own Threefry stream), optionally shard_mapped over the mesh;
-        * injection: the increments become an explicit sharded argument
-          (in_spec partitions the path axis over the mesh) closed over as
-          a device constant at the jit boundary.
+        * injection: the increments are a traced ARGUMENT of the jitted
+          program (round 4; previously a closed-over device constant) —
+          one compiled program serves EVERY same-shape realization
+          (finmath Mersenne, each Sobol scrambling, ...), the persistent
+          compile-cache key stops depending on the increment values, and
+          ``set_increments`` swaps realizations for free. Under a mesh
+          the in_spec partitions the increments' path axis.
 
-        ``transform`` (e.g. jacfwd) is applied to the params-only function
-        so Jacobians differentiate w.r.t. params, never the increments."""
+        ``transform`` (e.g. jacfwd, whose default argnums=0 touches only
+        the parameter argument) is applied before jit so Jacobians
+        differentiate w.r.t. params, never the increments."""
         mesh = self.mesh
-        if mesh is None:
-            if self._inc_np is None:
+        if self._inc_np is None:
+            if mesh is None:
                 fn = lambda params: core(params, None)  # noqa: E731
             else:
-                inc = jnp.asarray(self._inc_np)
-                fn = lambda params: core(params, inc)   # noqa: E731
-        else:
-            from jax.sharding import PartitionSpec as P
-
-            if self._inc_np is None:
-                smapped = jax.shard_map(
+                fn = jax.shard_map(
                     lambda params: core(params, None),
                     mesh=mesh, in_specs=P(), out_specs=P())
-                fn = smapped
-            else:
-                smapped = jax.shard_map(
-                    core, mesh=mesh,
-                    in_specs=(P(), P(None, None, self.path_axis)),
-                    out_specs=P())
-                inc = jnp.asarray(self._inc_np)
-                fn = lambda params: smapped(params, inc)  # noqa: E731
+            if transform is not None:
+                fn = transform(fn)
+            return jax.jit(fn)
+        if mesh is None:
+            base = core
+        else:
+            base = jax.shard_map(
+                core, mesh=mesh,
+                in_specs=(P(), P(None, None, self.path_axis)),
+                out_specs=P())
         if transform is not None:
-            fn = transform(fn)
-        return jax.jit(fn)
+            base = transform(base)
+        jfn = jax.jit(base)
+
+        def wrapper(params):
+            return jfn(params, self._inc_dev)
+
+        wrapper._jitted = jfn     # introspection: cache-size assertions
+        return wrapper
 
     # ------------------------------------------------------------------
     def _build_sim(self, params, inc=None, fwd0=None, grad_safe=False):
@@ -1076,6 +1111,11 @@ class LMMValuationEngine:
         at diagnostic path counts; not meshed."""
         if self.mesh is not None:
             raise ValueError("pathwise_values is a single-device diagnostic")
+        if inc is None:
+            # an injected-realization engine must decompose the SAME
+            # stream its values()/residuals() price on, not fall back to
+            # the Threefry draw
+            inc = self._inc_dev
         model = self.model
         consts = self._collect_consts()
 
@@ -1277,32 +1317,27 @@ class LMMValuationEngine:
         return core
 
     def _wrap_delta(self, core):
-        """jit-wrap ``core(params, fwd0, weights, inc)`` like
-        ``_wrap_public`` does for params-only functions (mesh + injected
-        increments combinations)."""
+        """Wrap ``core(params, fwd0, weights, inc)`` like ``_wrap_public``
+        does for params-only functions (mesh + injected increments
+        combinations). Returns ``f(params, fwd0, weights, inc)`` — the
+        increments stay a traced argument (pass ``self._inc_dev``, or
+        None for an engine drawing its own stream) so realization swaps
+        never retrace."""
         mesh = self.mesh
         if mesh is None:
-            if self._inc_np is None:
-                f = lambda p, f0, w: core(p, f0, w, None)   # noqa: E731
-            else:
-                inc = jnp.asarray(self._inc_np)
-                f = lambda p, f0, w: core(p, f0, w, inc)    # noqa: E731
-        else:
-            from jax.sharding import PartitionSpec as P
-
-            if self._inc_np is None:
-                f = jax.shard_map(
-                    lambda p, f0, w: core(p, f0, w, None),
-                    mesh=mesh, in_specs=(P(), P(), P()), out_specs=P())
-            else:
-                smapped = jax.shard_map(
-                    core, mesh=mesh,
-                    in_specs=(P(), P(), P(),
-                              P(None, None, self.path_axis)),
-                    out_specs=P())
-                inc = jnp.asarray(self._inc_np)
-                f = lambda p, f0, w: smapped(p, f0, w, inc)  # noqa: E731
-        return f
+            # inc defaults to the engine's own stored stream so direct
+            # 3-arg diagnostic calls keep working
+            return lambda p, f0, w, inc=None: core(  # noqa: E731
+                p, f0, w, self._inc_dev if inc is None else inc)
+        if self._inc_np is None:
+            smapped = jax.shard_map(
+                lambda p, f0, w: core(p, f0, w, None),
+                mesh=mesh, in_specs=(P(), P(), P()), out_specs=P())
+            return lambda p, f0, w, inc=None: smapped(p, f0, w)  # noqa: E731
+        return jax.shard_map(
+            core, mesh=mesh,
+            in_specs=(P(), P(), P(), P(None, None, self.path_axis)),
+            out_specs=P())
 
     def forward_deltas(self, params, weights=None):
         """Bucketed delta ladder of the (weighted) product portfolio:
@@ -1318,7 +1353,7 @@ class LMMValuationEngine:
         v, g = self._forward_delta_fn(
             jnp.asarray(params, dtype=jnp.float64),
             jnp.asarray(self.model.initial_forwards, dtype=jnp.float64),
-            jnp.asarray(w))
+            jnp.asarray(w), self._inc_dev)
         return float(v), np.asarray(g)
 
     def forward_delta_matrix(self, params) -> np.ndarray:
@@ -1330,12 +1365,13 @@ class LMMValuationEngine:
         if getattr(self, "_forward_delta_matrix_fn", None) is None:
             f = self._wrap_delta(self._build_forward_delta_core())
             self._forward_delta_matrix_fn = jax.jit(
-                jax.vmap(jax.grad(f, argnums=1), in_axes=(None, None, 0)))
+                jax.vmap(jax.grad(f, argnums=1),
+                         in_axes=(None, None, 0, None)))
         eye = jnp.eye(len(self.products), dtype=jnp.float64)
         return np.asarray(self._forward_delta_matrix_fn(
             jnp.asarray(params, dtype=jnp.float64),
             jnp.asarray(self.model.initial_forwards, dtype=jnp.float64),
-            eye))
+            eye, self._inc_dev))
 
     # ------------------------------------------------------------------
     # batched (multi-start) evaluation: ONE device program evaluates the

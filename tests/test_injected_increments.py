@@ -191,3 +191,51 @@ class TestEngineInjection:
         assert np.array_equal(sw._inc_np,
                               big.engine._inc_np[:, :, :sw.num_paths])
         del inj2
+
+
+class TestRealizationSwap:
+    """Round-4: injected increments are a traced ARGUMENT of the jitted
+    programs — swapping the realization (set_increments) must reuse the
+    compiled program (no retrace) and change the prices."""
+
+    def test_swap_changes_values_without_retrace(self):
+        import jax
+        import numpy as np
+
+        from finmath_tpu.models.lmm.benchmark_calibration import (
+            build_benchmark_calibration)
+        from finmath_tpu.models.qmc import sobol_brownian_increments
+
+        s = build_benchmark_calibration(num_paths=512, brownian="sobol",
+                                        seed=0)
+        p0 = np.asarray(s.covariance.initial_parameters)
+        v0 = np.asarray(s.engine.values(p0))
+        jitted = s.engine._values_fn._jitted
+        size0 = jitted._cache_size()
+        inc1 = sobol_brownian_increments(
+            np.full(40, 0.5), s.engine._n_rng_factors, 512, seed=1)
+        s.set_increments(np.asarray(inc1))
+        v1 = np.asarray(s.engine.values(p0))
+        assert jitted._cache_size() == size0, "realization swap retraced"
+        assert not np.allclose(v0, v1), "swap did not change the draw"
+        # pathwise_values decomposes the injected stream, not Threefry
+        pw = np.asarray(s.engine.pathwise_values(p0), dtype=np.float64)
+        np.testing.assert_allclose(pw.mean(axis=1), v1, rtol=5e-5)
+
+    def test_swap_validates_shape_and_unbuilt_engine(self):
+        import numpy as np
+        import pytest
+
+        from finmath_tpu.models.lmm.benchmark_calibration import (
+            build_benchmark_calibration)
+
+        s = build_benchmark_calibration(num_paths=512, brownian="sobol",
+                                        seed=0)
+        with pytest.raises(ValueError, match="shape"):
+            s.engine.set_increments(
+                np.zeros((40, s.engine._n_rng_factors, 256),
+                         dtype=np.float32))
+        s2 = build_benchmark_calibration(num_paths=512)
+        with pytest.raises(ValueError, match="without injected"):
+            s2.engine.set_increments(
+                np.zeros((40, 6, 512), dtype=np.float32))
