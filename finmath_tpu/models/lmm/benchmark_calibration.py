@@ -150,6 +150,20 @@ class BenchmarkCalibrationSetup:
                 increments=inc)
         return self._sweep_engine
 
+    def load_aot(self, directory=None) -> bool:
+        """Load previously exported (jax.export) main + sweep programs;
+        True only when both engines loaded completely — tracing/lowering
+        is then skipped entirely and the first call goes straight to the
+        persistent-cache-served XLA compile (utils/aot.py)."""
+        ok = self.engine.load_programs(directory)
+        return self.sweep_engine().load_programs(directory) and ok
+
+    def export_aot(self, directory=None) -> int:
+        """Serialize the main + sweep engines' lowered programs for
+        future processes; returns the number written."""
+        return (self.engine.export_programs(directory)
+                + self.sweep_engine().export_programs(directory))
+
     def set_increments(self, inc):
         """Swap the injected Brownian realization (engine + the sweep
         engine's path prefix) WITHOUT recompiling: the jitted programs

@@ -631,6 +631,88 @@ class LMMValuationEngine:
         self._implied_fn = self._wrap_public(self._build_implied_fn())
 
     # ------------------------------------------------------------------
+    # AOT program persistence (round 4): serialize the lowered StableHLO
+    # of the four public programs so a later process skips tracing +
+    # lowering entirely (utils/aot.py; measured 32.6 s vs 140-475 s for
+    # the 81,920-path stoch-vol set). Strictly best-effort: any
+    # mismatch/failure falls back to the normal jit path.
+    _AOT_PROGRAMS = (("residuals", "_residual_fn"),
+                     ("jacobian", "_jac_fn"),
+                     ("values", "_values_fn"),
+                     ("implied", "_implied_fn"))
+
+    def _aot_config(self):
+        model = self.model
+        parts = [self.num_paths, self.num_factors, self.num_steps,
+                 self.scan_mode, str(self.dtype), str(self.collect_dtype),
+                 bool(self.antithetic),
+                 tuple(repr(p) for p in self.products),
+                 type(model.covariance).__name__,
+                 model.measure, model.state_space,
+                 bool(model.use_numeraire_adjustment),
+                 np.asarray(model.initial_forwards).tobytes(),
+                 np.asarray(model.deltas).tobytes()]
+        if self._inc_np is None:
+            # the Threefry key is a program constant
+            parts += [self.seed]
+        else:
+            # injected realizations are a traced argument: shape-keyed
+            parts += [self._inc_np.shape, str(self._inc_np.dtype)]
+        return tuple(parts)
+
+    def _aot_examples(self):
+        import jax as _jax
+
+        n_params = int(self.model.covariance.n_params)
+        p = _jax.ShapeDtypeStruct((n_params,), jnp.float64)
+        if self._inc_np is None:
+            return (p,)
+        return (p, _jax.ShapeDtypeStruct(self._inc_np.shape,
+                                         self._inc_np.dtype))
+
+    def export_programs(self, directory=None):
+        """Serialize the lowered public programs (single-device engines
+        only); returns the number written."""
+        from ...utils import aot
+
+        if self.mesh is not None:
+            return 0
+        directory = directory or aot.default_cache_dir()
+        cfg = self._aot_config()
+        examples = self._aot_examples()
+        n = 0
+        for name, attr in self._AOT_PROGRAMS:
+            fn = getattr(self, attr)
+            jitted = getattr(fn, "_jitted", fn)
+            if aot.save_program(directory, name, cfg + (name,), jitted,
+                                *examples) is not None:
+                n += 1
+        return n
+
+    def load_programs(self, directory=None) -> bool:
+        """Replace the public programs with previously exported ones
+        (all-or-nothing); True when every program loaded."""
+        from ...utils import aot
+
+        if self.mesh is not None:
+            return False
+        directory = directory or aot.default_cache_dir()
+        cfg = self._aot_config()
+        calls = {}
+        for name, attr in self._AOT_PROGRAMS:
+            call = aot.load_program(directory, name, cfg + (name,))
+            if call is None:
+                return False
+            calls[attr] = call
+        for attr, call in calls.items():
+            if self._inc_np is None:
+                setattr(self, attr, call)
+            else:
+                setattr(self, attr,
+                        (lambda c: lambda params: c(params, self._inc_dev))(call))
+        return True
+
+    # ------------------------------------------------------------------
     def set_increments(self, inc):
         """Swap the injected Brownian realization WITHOUT recompiling.
 
