@@ -20,5 +20,6 @@ def test_gate_path_reports_stages_and_history():
     assert r.stages["total_s"] >= r.stages["gate_s"]
     assert np.isfinite(r.stages["gate_best_rms"])
     # history carries the full-path rms of each scored candidate
-    assert len(r.history) == 3
+    from finmath_tpu.models.lmm.benchmark_calibration import CURATED_BASINS
+    assert len(r.history) == len(CURATED_BASINS)
     assert min(h for h in r.history if np.isfinite(h)) == r.stages["gate_best_rms"]
