@@ -269,6 +269,7 @@ def bench_lmm_atm_calibration():
                                   seed=31415, jacobian_paths=5_000,
                                   scan_mode="fused")
     build_s = time.perf_counter() - t0
+    aot_loaded = setup.load_aot()   # skip tracing+lowering when exported
 
     # one-time compilation, untimed (see module docstring for why); the
     # four independent programs compile concurrently
@@ -295,6 +296,8 @@ def bench_lmm_atm_calibration():
     wall = time.perf_counter() - t0
 
     dev = setup.deviations(result.parameters)
+    if not aot_loaded:
+        setup.export_aot()          # untimed; next process skips lowering
     return {
         "metric": "lmm_atm_swaption_calibration_100k_paths_wall",
         "value": round(wall, 3),
@@ -302,6 +305,7 @@ def bench_lmm_atm_calibration():
         "vs_baseline": round(REF_CPU_AT_100K_S / wall, 2),
         "detail": {
             "paths": 100_000,
+            "aot_programs": "loaded" if aot_loaded else "exported",
             "products": len(setup.products),
             "parameters": int(setup.covariance.n_params),
             "iterations": result.iterations,

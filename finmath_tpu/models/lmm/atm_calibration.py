@@ -128,6 +128,22 @@ class ATMCalibrationSetup:
         )
         return lm.run(x0)
 
+    def load_aot(self, directory=None) -> bool:
+        """Load previously exported (jax.export) programs for the main
+        and Jacobian engines — tracing + lowering skipped entirely
+        (utils/aot.py); True only when everything loaded."""
+        ok = self.engine.load_programs(directory)
+        if self.jacobian_engine is not None:
+            ok = self.jacobian_engine.load_programs(directory) and ok
+        return ok
+
+    def export_aot(self, directory=None) -> int:
+        """Serialize the lowered programs for future processes."""
+        n = self.engine.export_programs(directory)
+        if self.jacobian_engine is not None:
+            n += self.jacobian_engine.export_programs(directory)
+        return n
+
     @property
     def analytic_engine(self):
         """Lazily-built analytic-approximation engine over the same
