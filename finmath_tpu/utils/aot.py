@@ -27,12 +27,39 @@ from . import config as _config  # noqa: F401  (package config side effects)
 
 FORMAT_VERSION = 1
 
+_SOURCE_DIGEST = None
+
+
+def _source_digest() -> str:
+    """Digest of the package sources that shape the lowered programs —
+    any code edit invalidates every artifact (a stale program silently
+    reproducing OLD semantics would be a correctness bug, not a cache
+    miss). Computed once per process; cheap (a few hundred KB)."""
+    global _SOURCE_DIGEST
+    if _SOURCE_DIGEST is None:
+        import finmath_tpu
+
+        root = os.path.dirname(os.path.abspath(finmath_tpu.__file__))
+        h = hashlib.sha1()
+        for sub in ("models", "ops", "parallel"):
+            d = os.path.join(root, sub)
+            for dirpath, _, files in sorted(os.walk(d)):
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        p = os.path.join(dirpath, f)
+                        h.update(f.encode())
+                        with open(p, "rb") as fh:
+                            h.update(fh.read())
+        _SOURCE_DIGEST = h.hexdigest()
+    return _SOURCE_DIGEST
+
 
 def _key(*parts) -> str:
     from .. import __version__ as pkg_version
 
     h = hashlib.sha1()
-    h.update(repr((FORMAT_VERSION, pkg_version) + parts).encode())
+    h.update(repr((FORMAT_VERSION, pkg_version, _source_digest())
+                  + parts).encode())
     return h.hexdigest()[:20]
 
 
