@@ -93,8 +93,48 @@ def bermudan_bounds():
           f"duality gap {hi - lo:.2e}")
 
 
+def realization_swapping_and_aot():
+    """Round 4: injected realizations are a traced ARGUMENT of the
+    compiled programs — set_increments swaps the Sobol scrambling (or
+    any same-shape stream) with ZERO recompilation, which is what makes
+    multi-realization calibration and bootstrap resampling cheap; and
+    export_aot/load_aot persist the lowered programs so a fresh process
+    skips tracing + lowering entirely."""
+    import tempfile
+    import time
+
+    import numpy as np
+
+    from finmath_tpu.models.lmm.benchmark_calibration import (
+        build_benchmark_calibration)
+    from finmath_tpu.models.qmc import sobol_brownian_increments
+
+    setup = build_benchmark_calibration(num_paths=4096, brownian="sobol",
+                                        seed=0)
+    p0 = setup.covariance.initial_parameters
+    v0 = setup.engine.values(p0)
+    t0 = time.perf_counter()
+    for k in (1, 2, 3):     # three more scramblings, one compiled program
+        setup.set_increments(np.asarray(sobol_brownian_increments(
+            np.full(40, 0.5), setup.engine._n_rng_factors, 4096, seed=k)))
+        vk = setup.engine.values(p0)
+        print(f"scrambling {k}: first quote {vk[0]:.6f} "
+              f"(vs {v0[0]:.6f} on scrambling 0)")
+    print(f"3 realization swaps + revaluations: "
+          f"{time.perf_counter() - t0:.2f} s, no retrace")
+
+    with tempfile.TemporaryDirectory() as d:
+        n = setup.export_aot(d)
+        fresh = build_benchmark_calibration(num_paths=4096,
+                                            brownian="sobol", seed=0)
+        loaded = fresh.load_aot(d)
+        print(f"AOT: exported {n} programs; fresh setup loaded={loaded} "
+              f"(tracing + lowering skipped)")
+
+
 if __name__ == "__main__":
     lazy_eager()
     reference_realization()
     quasi_monte_carlo()
     bermudan_bounds()
+    realization_swapping_and_aot()
