@@ -93,14 +93,21 @@ def save_program(directory: str, name: str, config_parts, jitted,
 
 def load_program(directory: str, name: str, config_parts):
     """Deserialize a previously exported program; returns a callable
-    ``f(*args)`` or None when absent/unreadable/mismatched."""
+    ``f(*args)`` or None when absent/unreadable/mismatched — including
+    a platform mismatch (exported programs pin their lowering platform;
+    a TPU artifact must never be callable from a CPU-pinned context)."""
     path = os.path.join(
         directory, f"{name}-{_key(*tuple(config_parts))}.bin")
     try:
+        import jax
         from jax import export
 
         with open(path, "rb") as fh:
             data = fh.read()
-        return export.deserialize(data).call
+        exp = export.deserialize(data)
+        if jax.default_backend().lower() not in (
+                p.lower() for p in exp.platforms):
+            return None
+        return exp.call
     except Exception:
         return None
