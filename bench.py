@@ -60,7 +60,10 @@ _START = time.monotonic()
 BUDGET_S = float(os.environ.get("FINMATH_TPU_BENCH_BUDGET_S", "1500"))
 HARD_EXIT_S = float(os.environ.get("FINMATH_TPU_BENCH_HARD_EXIT_S",
                                    str(BUDGET_S + 420.0)))
-_EMIT_LOCK = threading.Lock()
+# RLock: SIGTERM can arrive on the main thread WHILE _emit() holds the
+# lock mid-print; the handler re-enters _emit() on the same thread and a
+# plain Lock would self-deadlock instead of flushing
+_EMIT_LOCK = threading.RLock()
 _STATE = {"summary": None, "detail": {}}
 
 
@@ -131,6 +134,11 @@ class _CacheCounter(logging.Handler):
             self.hits += 1
         elif "compilation cache miss" in msg:
             self.misses += 1
+        elif record.levelno >= logging.WARNING:
+            # propagate=False silences this logger's console route; real
+            # compiler warnings/errors (e.g. cache-write failures) must
+            # still surface
+            logging.lastResort.handle(record)
 
 
 _CACHE_COUNTER = _CacheCounter()
@@ -159,7 +167,7 @@ V5E_PEAK_HBM_GBS = 819.0
 TUNNEL_RTT_S = 0.030
 
 
-def _xla_cost(jitted, *args, static_argnums=None, **kwargs):
+def _xla_cost(jitted, *args, **kwargs):
     """flops / bytes-accessed of a jitted program via AOT lowering; None
     when the backend or a custom call (Pallas) hides them."""
     try:
@@ -519,7 +527,7 @@ def bench_stochvol_matched():
         return float(np.sqrt(np.sum(d ** 2) / 19))
 
     t_all = time.perf_counter()
-    best_x, best_rms = None, np.inf
+    best_x, best_rms, best_k = None, np.inf, 0
     per_seed = []
     # the two shipped basins that win every observed continuation
     # (primary + the QMC optimum); scoring more adds wall, not fit
@@ -545,9 +553,17 @@ def bench_stochvol_matched():
     # around the incumbent on the BEST realization — the sharp basin has
     # nearby sub-basins the single polish trajectory misses (measured:
     # a 1%-jitter restart reached rms19 0.1984% on a realization whose
-    # polish floor was 0.2049%)
+    # polish floor was 0.2049%). The engine currently holds realization
+    # K-1; ALWAYS restore the best one (realization 0 = the builder's
+    # own stream) so the restarts optimize and report the same
+    # realization best_realization claims.
+    if best_x is None:            # every polish diverged (NaN deviations)
+        best_x, best_rms = starts[0], rms19(starts[0])
     if best_k > 0:
         setup.set_increments(incs[best_k - 1])
+    else:
+        setup.set_increments(np.asarray(sobol_brownian_increments(
+            np.full(40, 0.5), eng._n_rng_factors, PATHS, seed=0)))
     rng = np.random.default_rng(11)
     per_restart = []
     for _ in range(4):

@@ -643,11 +643,28 @@ class LMMValuationEngine:
 
     def _aot_config(self):
         model = self.model
+        cov = model.covariance
+        # the covariance's INTERNAL configuration (decay constants, vol
+        # grids, factor counts...) and the curve-derived engine constants
+        # are baked into the lowered program; fingerprint them
+        # numerically via the prepared tables at the initial parameters —
+        # a class name alone would let two differently-configured
+        # engines collide on one artifact (a silent wrong-price bug)
+        p0 = jnp.asarray(np.asarray(cov.initial_parameters,
+                                    dtype=np.float64))
+        prep = cov.prepare(p0)
+        cov_fp = (np.asarray(cov.initial_parameters).tobytes()
+                  + np.asarray(cov.vol_table(prep)).tobytes()
+                  + np.asarray(cov.factor_matrix(prep)).tobytes())
+        const_fp = b"".join(
+            np.asarray(getattr(self, a)).tobytes()
+            for a in ("_df_exercise", "_fwd0", "_ann0", "_target")
+            if getattr(self, a, None) is not None)
         parts = [self.num_paths, self.num_factors, self.num_steps,
                  self.scan_mode, str(self.dtype), str(self.collect_dtype),
                  bool(self.antithetic),
                  tuple(repr(p) for p in self.products),
-                 type(model.covariance).__name__,
+                 type(cov).__name__, cov_fp, const_fp,
                  model.measure, model.state_space,
                  bool(model.use_numeraire_adjustment),
                  np.asarray(model.initial_forwards).tobytes(),

@@ -350,20 +350,30 @@ class GaussianCopulaSimulation:
         self.antithetic = bool(antithetic)
         n = portfolio.num_names
         half = num_paths // 2 if antithetic else num_paths
-        kz, ke = jax.random.split(jax.random.PRNGKey(self.seed))
-        z = jax.random.normal(kz, (1, half), dtype=jnp.float32)
-        eps = jax.random.normal(ke, (n, half), dtype=jnp.float32)
-        if antithetic:
-            z = jnp.concatenate([z, -z], axis=1)
-            eps = jnp.concatenate([eps, -eps], axis=1)
-        b = jnp.asarray(portfolio.betas,
-                        dtype=jnp.float32)[:, None]
-        self._lat = (b * z + jnp.sqrt(1.0 - b * b) * eps)
-        if mesh is not None:
+        b = jnp.asarray(portfolio.betas, dtype=jnp.float32)[:, None]
+
+        def build_lat(key):
+            kz, ke = jax.random.split(key)
+            z = jax.random.normal(kz, (1, half), dtype=jnp.float32)
+            eps = jax.random.normal(ke, (n, half), dtype=jnp.float32)
+            if antithetic:
+                z = jnp.concatenate([z, -z], axis=1)
+                eps = jnp.concatenate([eps, -eps], axis=1)
+            return b * z + jnp.sqrt(1.0 - b * b) * eps
+
+        key = jax.random.PRNGKey(self.seed)
+        if mesh is None:
+            self._lat = build_lat(key)
+        else:
+            # generate ALREADY SHARDED: requesting the output sharding
+            # from jit makes XLA partition the (partitionable-Threefry)
+            # draw itself, so the [names, paths] latent never
+            # materializes on one device — the whole point of mesh= is
+            # path counts that exceed a single chip's HBM. Values are
+            # identical to the unsharded draw.
             from jax.sharding import NamedSharding, PartitionSpec
-            self._lat = jax.device_put(
-                self._lat,
-                NamedSharding(mesh, PartitionSpec(None, path_axis)))
+            sh = NamedSharding(mesh, PartitionSpec(None, path_axis))
+            self._lat = jax.jit(build_lat, out_shardings=sh)(key)
 
     def tranche_statistics(self, times, attachment: float,
                            detachment: float, ks: Sequence[int] = ()):
