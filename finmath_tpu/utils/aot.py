@@ -55,10 +55,20 @@ def _source_digest() -> str:
 
 
 def _key(*parts) -> str:
+    """Artifact key: format version, package version, jax/jaxlib versions
+    (the serialized StableHLO calling convention is a jax implementation
+    detail — a jaxlib upgrade must miss cleanly rather than rely on
+    ``export.deserialize`` failing; the reference's PTX cache keys the
+    arch into the filename the same way, JCudaUtils.java:63-75), and a
+    digest of the package sources that shaped the lowering."""
+    import jax
+    import jaxlib
+
     from .. import __version__ as pkg_version
 
     h = hashlib.sha1()
-    h.update(repr((FORMAT_VERSION, pkg_version, _source_digest())
+    h.update(repr((FORMAT_VERSION, pkg_version, jax.__version__,
+                   jaxlib.__version__, _source_digest())
                   + parts).encode())
     return h.hexdigest()[:20]
 

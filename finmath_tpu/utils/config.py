@@ -31,14 +31,60 @@ _DEFAULT_CACHE = os.path.join(
 )
 
 
+def cache_scope() -> str:
+    """Platform scope for the persistent XLA cache directory.
+
+    The JAX persistent cache stores *serialized executables*. An XLA:CPU
+    executable embeds host machine features (AVX level etc.); loading one
+    compiled on a different host raises ``cpu_aot_loader`` errors and can
+    SIGILL (the reference fails loudly on device mismatch instead —
+    RandomVariableCuda.java:167 ``setExceptionsEnabled(true)``; the PTX
+    cache keys ``-arch sm_XY`` into the filename, JCudaUtils.java:63-75).
+    We therefore scope the directory per backend, and on CPU additionally
+    per host-feature digest, so a mismatched entry is simply never seen.
+
+    The backend name comes from ``JAX_PLATFORMS``/``jax_platforms`` when
+    set (every CPU context in this project sets it — conftest, dryrun
+    driver) so reading it does NOT initialize the backend; only when unset
+    do we ask ``jax.default_backend()`` (a TPU context, where the backend
+    is about to be initialized anyway)."""
+    plats = os.environ.get("JAX_PLATFORMS") or ""
+    try:
+        cfg = jax.config.jax_platforms
+        if cfg:
+            plats = cfg
+    except AttributeError:
+        pass
+    backend = plats.split(",")[0].strip().lower() if plats.strip() else ""
+    if not backend:
+        backend = jax.default_backend().lower()
+    if backend != "cpu":
+        return backend
+    import hashlib
+    import platform as _platform
+
+    feat = _platform.machine()
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    feat += " " + " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return f"cpu-{hashlib.sha1(feat.encode()).hexdigest()[:12]}"
+
+
 def enable_compilation_cache(path: str = None) -> str | None:
-    """Enable JAX's persistent compilation cache. Returns the directory in
-    use, or None if disabled via FINMATH_TPU_CACHE_DIR=''."""
+    """Enable JAX's persistent compilation cache, scoped per backend (and
+    per host-feature digest on CPU — see :func:`cache_scope`). Returns the
+    directory in use, or None if disabled via FINMATH_TPU_CACHE_DIR=''."""
     cache_dir = path if path is not None else os.environ.get(
         "FINMATH_TPU_CACHE_DIR", _DEFAULT_CACHE
     )
     if not cache_dir:
         return None
+    cache_dir = os.path.join(cache_dir, cache_scope())
     Path(cache_dir).mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -63,6 +63,62 @@ class TestAOTRoundTrip:
                                             brownian="sobol", seed=0)
         assert other.engine.load_programs(d) is False
 
+    def test_corrupted_artifact_falls_back(self, exported, tmp_path):
+        """A truncated/garbage artifact (e.g. a foreign jax version whose
+        serialization we can't read) must miss cleanly, never raise."""
+        import glob
+        import os
+        import shutil
+
+        d, s0 = exported
+        d2 = str(tmp_path / "corrupt")
+        shutil.copytree(d, d2)
+        paths = glob.glob(os.path.join(d2, "*.bin"))
+        assert paths
+        for p in paths:
+            with open(p, "r+b") as fh:
+                data = fh.read()
+                fh.seek(0)
+                fh.write(b"\x00garbage\xff" + data[9:])
+        s1 = build_benchmark_calibration(num_paths=512, brownian="sobol",
+                                         seed=0)
+        assert s1.load_aot(d2) is False
+        # and the jit path still works after the failed load
+        p0 = np.asarray(s0.covariance.initial_parameters)
+        np.testing.assert_allclose(np.asarray(s1.engine.values(p0)),
+                                   np.asarray(s0.engine.values(p0)),
+                                   rtol=1e-12)
+
+    def test_key_includes_jax_version(self, monkeypatch):
+        """A jax/jaxlib upgrade must change every artifact key (miss
+        cleanly) instead of relying on deserialize failing."""
+        import jax as _jax
+
+        from finmath_tpu.utils import aot
+
+        k0 = aot._key("cfg")
+        monkeypatch.setattr(_jax, "__version__", "999.0.0")
+        assert aot._key("cfg") != k0
+
+    def test_xla_cache_scope_is_backend_scoped(self, tmp_path):
+        """The persistent XLA cache dir embeds the backend (and host
+        feature digest on CPU) so a CPU AOT entry compiled on another
+        machine is never loaded (cpu_aot_loader SIGILL hazard)."""
+        from finmath_tpu.utils import config as cfg
+
+        scope = cfg.cache_scope()
+        assert scope.startswith("cpu-"), scope       # conftest pins cpu
+        assert len(scope.split("-", 1)[1]) == 12     # feature digest
+        import jax as _jax
+
+        old = _jax.config.jax_compilation_cache_dir
+        try:
+            d = cfg.enable_compilation_cache(str(tmp_path / "xc"))
+            assert d is not None and d.endswith(scope)
+            assert _jax.config.jax_compilation_cache_dir == d
+        finally:
+            _jax.config.update("jax_compilation_cache_dir", old)
+
     def test_meshed_engine_refuses(self, exported):
         d, _ = exported
         devs = np.asarray(jax.devices())
