@@ -178,6 +178,152 @@ def lmm_stochvol_swaption_kernel(seed: int, num_paths: int, num_libors: int,
     return jnp.sum(flat.astype(ACC_DTYPE)) / num_paths
 
 
+# ---------------------------------------------------------------------------
+# round 5: the CALIBRATION kernel — every benchmark product collected in one
+# path sweep, batched over a leading parameter-set axis (finite-difference
+# Jacobians / multi-start scoring ride the same compiled program). This is
+# what puts the Pallas path into the production residual/jacobian stack
+# (VERDICT round-4 item 1): the reference's design principle is that the
+# calibration hot loop runs on the fastest device implementation
+# (README.md:24-28, RandomVariableCuda.java:539-557).
+# ---------------------------------------------------------------------------
+
+
+def _sv_kernel_products(scal_ref, volT_ref, l0_ref, delta_ref, normals_ref,
+                        out_ref, *, num_libors: int, num_factors: int,
+                        products, p_pad: int):
+    """One (parameter set, path tile) program: simulate to the LAST
+    exercise step, collecting every product's discounted payoff on the way.
+
+    grid = (B, num_tiles). scal (SMEM f32 [B, 8], row = pset):
+    [dt, sqrt_dt, blend, nu, rho, sqrt(1-rho^2), 0, 0]; volT block
+    (1, F*n, S) picked by pset; normals block (1, rows, 128) picked by
+    path tile (rows consumed step-major, factors 0..F-1 then the V
+    driver — exactly the engine's injected-increment order,
+    models/lmm/model.py sim_step). ``products``: static tuple of
+    (exercise_step, num_periods, strike); payoff rows land in product
+    order, padded to ``p_pad``. Collection happens at the START of the
+    exercise step, BEFORE that step's accrual/evolution — the engine's
+    collect ordering."""
+    p = pl.program_id(0).astype(jnp.int32)
+    dt = scal_ref[p, 0]
+    sqrt_dt = scal_ref[p, 1]
+    blend, nu = scal_ref[p, 2], scal_ref[p, 3]
+    rho, somega = scal_ref[p, 4], scal_ref[p, 5]
+
+    n, F = num_libors, num_factors
+    num_steps = max(e for e, _, _ in products)
+    by_step = {}
+    for k, (e, m, strike) in enumerate(products):
+        by_step.setdefault(e, []).append((k, m, strike))
+
+    one = jnp.float32(1.0)
+    delta = delta_ref[...]                                   # [n, 1]
+    L0 = l0_ref[...] * jnp.ones((n, _LANES), dtype=jnp.float32)
+    L = L0
+    N = jnp.ones((1, _LANES), dtype=jnp.float32)
+    # the scaling process is carried in LOG space: the engine carries V in
+    # f64, and a 20-step f32 PRODUCT of exp() terms picks up the TPU fast-
+    # exp's few-ULP SYSTEMATIC bias (the hedge-simulation finding,
+    # BENCHMARKS.md) which the chaotic calibrated basin then amplifies;
+    # log V accumulates ADDITIVELY (unbiased rounding) and one fresh
+    # exp(0.5 log V) per step never compounds
+    logV = jnp.zeros((1, _LANES), dtype=jnp.float32)
+
+    next_z = make_z_row_source(normals_ref, _DRAW)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    rows = [None] * len(products)
+
+    def collect(s):
+        for k, m, strike in by_step[s]:
+            in_swap = jnp.logical_and(iota >= s, iota < s + m)
+            r = jnp.where(in_swap, one / (one + delta * L), one)
+            cp = _prefix_prod(r, n)
+            ann = jnp.sum(jnp.where(in_swap, cp * delta, jnp.float32(0.0)),
+                          axis=0, keepdims=True)
+            p_end = cp[s + m - 1:s + m]
+            payoff = jnp.maximum(one - p_end - jnp.float32(strike) * ann, 0.0)
+            rows[k] = payoff / N
+
+    for s in range(num_steps + 1):
+        if s in by_step:
+            collect(s)
+        if s == num_steps:
+            break
+        zs = [next_z() for _ in range(F + 1)]                 # [1, 128] each
+        N = N * (one + delta[s:s + 1] * L[s:s + 1])
+        alive = iota >= s + 1
+        sqrtV = jnp.exp(jnp.float32(0.5) * logV)
+        lf = ((one - blend) * L + blend * L0) * sqrtV
+        mt = delta / (one + delta * L)
+        mu = jnp.zeros((n, _LANES), dtype=jnp.float32)
+        diffusion = jnp.zeros((n, _LANES), dtype=jnp.float32)
+        for f in range(F):
+            base = jnp.where(alive, volT_ref[0, f * n:(f + 1) * n, s:s + 1],
+                             jnp.float32(0.0))
+            lam = base * lf
+            mu = mu + lam * _prefix_sum(mt * lam, n)
+            diffusion = diffusion + lam * (sqrt_dt * zs[f])
+        L = jnp.clip(L + mu * dt + diffusion,
+                     jnp.float32(-1e3), jnp.float32(1e3))
+        dw_v = sqrt_dt * (rho * zs[0] + somega * zs[F])
+        # running cap at V = 1e6, exactly the engine's min-per-step clamp
+        logV = jnp.minimum(logV + nu * dw_v - jnp.float32(0.5) * nu * nu * dt,
+                           jnp.float32(13.815511))
+
+    pad = [jnp.zeros((1, _LANES), jnp.float32)] * (p_pad - len(products))
+    out_ref[0, 0] = jnp.concatenate(rows + pad, axis=0)
+
+
+def lmm_stochvol_swaptions_batch(z_tiles, volT_b, scal_b, initial_forwards,
+                                 deltas, *, num_libors: int,
+                                 num_factors: int, products):
+    """Traceable multi-product batched pricer: returns per-path discounted
+    payoffs ``[B, num_tiles, P_pad, LANES]`` (f32) for ``len(products)``
+    swaptions under ``B`` parameter sets sharing ONE normal realization
+    (common random numbers — exactly what a finite-difference Jacobian
+    wants). Call inside jit; the caller owns the f64 reduction,
+    finite-masking and implied-vol inversion.
+
+    ``z_tiles``: [num_tiles, rows, LANES] f32 standard normals,
+    rows = max_exercise_step * (F+1), path tile t covering paths
+    [t*128, (t+1)*128). ``volT_b``: [B, F*n, S] f32 (sigma_i(t_s)*R_{i,f}
+    factor-major). ``scal_b``: [B, 8] f32 rows
+    [dt, sqrt_dt, blend, nu, rho, sqrt(1-rho^2), 0, 0]."""
+    B = volT_b.shape[0]
+    num_tiles, rows, _ = z_tiles.shape
+    P = len(products)
+    p_pad = max(8, -(-P // 8) * 8)
+    l0 = jnp.asarray(initial_forwards, dtype=jnp.float32).reshape(-1, 1)
+    dl = jnp.asarray(deltas, dtype=jnp.float32).reshape(-1, 1)
+
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(
+                _sv_kernel_products, num_libors=num_libors,
+                num_factors=num_factors, products=tuple(products),
+                p_pad=p_pad),
+            grid=(B, num_tiles),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, volT_b.shape[1], volT_b.shape[2]),
+                             lambda p, i: (p, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, rows, _LANES), lambda p, i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, p_pad, _LANES), lambda p, i: (p, i, 0, 0),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, num_tiles, p_pad, _LANES),
+                                           jnp.float32),
+        )(scal_b.astype(jnp.float32), volT_b.astype(jnp.float32), l0, dl,
+          z_tiles.astype(jnp.float32))
+    return out
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4),
                    static_argnames=("interpret",))
 def lmm_stochvol_swaption_kernel_with_normals(
