@@ -276,18 +276,28 @@ def bench_lmm_atm_calibration():
     setup = build_atm_calibration(num_paths=100_000, num_factors=1,
                                   seed=31415, jacobian_paths=5_000,
                                   scan_mode="fused")
+    # round 5: the full-path residual sweep runs on the Pallas kernel
+    # backend (identical Threefry paths — the backend replicates the
+    # engine's stream); the reduced-path jacfwd Jacobian and the engine-
+    # oracle quality reporting are unchanged
+    from finmath_tpu.models.lmm.kernel_backend import ATMKernelCalibration
+
+    kb = ATMKernelCalibration(setup.engine)
     build_s = time.perf_counter() - t0
-    aot_loaded = setup.load_aot()   # skip tracing+lowering when exported
+    _aot_setup = setup.load_aot()   # skip tracing+lowering when exported
+    _aot_kb = kb.load_programs()
+    aot_loaded = _aot_setup and _aot_kb
 
     # one-time compilation, untimed (see module docstring for why); the
-    # four independent programs compile concurrently
+    # independent programs compile concurrently
     p0 = setup.covariance.initial_parameters
     analytic = setup.analytic_engine  # build the lazy property ON the main
     # thread: two threads racing the getattr-then-assign would warm a
     # discarded instance and push its compile into the timed region
     t0 = time.perf_counter()
     _warm_concurrently([
-        lambda: setup.engine.residuals(p0),
+        lambda: kb.residuals(p0),
+        lambda: setup.engine.implied_vols(p0),   # deviations oracle
         lambda: (setup.jacobian_engine or setup.engine).jacobian(p0),
         lambda: analytic.residuals(p0),
         lambda: analytic.jacobian(p0),
@@ -300,12 +310,14 @@ def bench_lmm_atm_calibration():
     # full-resolution MC engine exactly as before
     t0 = time.perf_counter()
     result = setup.calibrate(max_iterations=60, accuracy=1e-7,
-                             warm_start="analytic")
+                             warm_start="analytic", residual_backend=kb)
     wall = time.perf_counter() - t0
 
     dev = setup.deviations(result.parameters)
-    if not aot_loaded:
+    if not _aot_setup:
         setup.export_aot()          # untimed; next process skips lowering
+    if not _aot_kb:
+        kb.export_programs()
     return {
         "metric": "lmm_atm_swaption_calibration_100k_paths_wall",
         "value": round(wall, 3),
@@ -314,6 +326,7 @@ def bench_lmm_atm_calibration():
         "detail": {
             "paths": 100_000,
             "aot_programs": "loaded" if aot_loaded else "exported",
+            "backend": "pallas kernel residuals + 5k-path jacfwd Jacobian",
             "products": len(setup.products),
             "parameters": int(setup.covariance.n_params),
             "iterations": result.iterations,
@@ -397,15 +410,24 @@ def bench_stochvol_calibration(num_paths):
     # use) — wall AND fit are then same-paths comparable, not merely
     # same-seed-convention. Host stream generation is one-time setup,
     # excluded from the timed region like compilation.
+    from finmath_tpu.models.lmm.kernel_backend import (
+        StochVolKernelCalibration)
+
     setup = build_benchmark_calibration(num_paths=num_paths, seed=314151,
                                         brownian="finmath_mersenne")
+    # round 5: the full-path hot loop (ranking + polish) runs on the
+    # Pallas kernel backend over the SAME injected Mersenne realization;
+    # gate/report quality stays on the engine oracle
+    kb = StochVolKernelCalibration(setup.engine, [setup.engine._inc_np])
     # AOT program persistence (round 4, utils/aot.py): a previous
     # process's exported StableHLO skips tracing+lowering entirely;
     # load is best-effort and the artifacts are written back after the
-    # timed region when absent
-    aot_loaded = setup.load_aot()
+    # timed region when absent (no short-circuit: both loads must run)
+    _aot_setup = setup.load_aot()
+    _aot_kb = kb.load_programs()
+    aot_loaded = _aot_setup and _aot_kb
     # one-time compilation, untimed (same methodology as the headline);
-    # the multistart's reduced-path sweep engine is warmed too. The five
+    # the multistart's reduced-path sweep engine is warmed too. The
     # independent programs compile concurrently (see _warm_concurrently).
     p0 = setup.covariance.initial_parameters
     sweep = setup.sweep_engine()
@@ -416,8 +438,8 @@ def bench_stochvol_calibration(num_paths):
     analytic = setup.analytic_engine()
     t0 = time.perf_counter()
     _warm_concurrently([
-        lambda: setup.engine.residuals(p0),
-        lambda: setup.engine.jacobian(p0),
+        lambda: kb.residuals(p0),
+        lambda: kb.residuals_and_jacobian(p0),
         lambda: setup.engine.values(p0),  # rms19 targets go via values()
         lambda: setup.engine.implied_vols(p0),  # gate/polish rms19 path
         lambda: sweep.residuals(p0),
@@ -431,13 +453,16 @@ def bench_stochvol_calibration(num_paths):
     # published calibration quality — further starts are skipped once the
     # reference RMS is matched, like the reference stops at its LM optimum
     t0 = time.perf_counter()
-    result = setup.calibrate_multistart(target_rms19=ref[2])
+    result = setup.calibrate_multistart(target_rms19=ref[2],
+                                        kernel_backend=kb)
     wall = time.perf_counter() - t0
     dev = setup.deviations(result.parameters)
     rms15 = float(np.sqrt(np.mean(dev ** 2)))
     rms19 = float(np.sqrt(np.sum(dev ** 2) / 19))
-    if not aot_loaded:
+    if not _aot_setup:
         setup.export_aot()           # untimed; next process skips lowering
+    if not _aot_kb:
+        kb.export_programs()
     return {
         "paths": num_paths,
         "aot_programs": "loaded" if aot_loaded else "exported",
@@ -461,134 +486,157 @@ def bench_stochvol_calibration(num_paths):
 
 
 def bench_stochvol_matched():
-    """The matched-quality pursuit row (round-3 VERDICT missing #2):
-    close the fit gap to the reference's published rms19 0.198% while
-    staying far under its 49.46 s wall (81,920 paths).
+    """The matched-quality pursuit row: close the fit gap to the
+    reference's published rms19 0.198% while staying far under its
+    49.46 s wall (81,920 paths).
 
-    Pre-registered procedure, fully timed: multi-realization QMC
-    calibration — the basin-continuation production path (score the
-    shipped basins, two-stage full-path trust-region polish; measured to
-    match the full staged multistart to <=0.003pp at ~1/3 the wall) on
-    each of K independent Owen scramblings of the scrambled-Sobol +
-    Brownian-bridge estimator (``set_increments`` swaps realizations
-    through ONE compiled program — the increments are a traced
-    argument), keeping the best fit.
-    Every per-realization fit is reported: the reference's own 0.198% is
-    likewise the in-sample fit on its one realization (and is not
-    reproducible even on its own bit-exact paths with this model family
-    — the same-realization study's floor is 0.2195%, BENCHMARKS.md; the
-    achievable floor per realization is itself compiler-day sensitive at
-    the 4th digit through the basin's ~1e7 Lyapunov amplification of
-    1-ULP differences). Sobol generation is one-time setup excluded
-    from the wall like compilation (same methodology as the Mersenne
-    rows)."""
+    Round-5 procedure (pre-registered, fully timed): the calibration hot
+    loop runs on the Pallas kernel backend (models/lmm/kernel_backend.py)
+    — residuals are one multi-product VMEM-resident path sweep, the
+    Jacobian is central finite differences under common random numbers
+    batched into ONE kernel launch (measured 84 ms vs the scan engine's
+    208 ms jacfwd, which also NaNs at the calibrated basin; the FD
+    Jacobian does not and agrees to 2.4e-4 column-scaled elsewhere).
+    Because realizations are a traced argument of one compiled program,
+    the K independent Owen scramblings polish CONCURRENTLY (threads
+    overlap the ~30 ms tunnel RTT), then 4 jittered trust-region
+    restarts dig into the winner's sub-basins, also concurrent.
+
+    Quality is reported on BOTH oracles: ``best_rms19`` is the
+    f64-collection scan ENGINE's implied vols at the final parameters
+    (the independent oracle — strongest claim), ``best_rms19_kernel``
+    the kernel's own in-sample fit (the objective the optimizer saw;
+    the reference's 0.198% is likewise its own engine's in-sample
+    figure). The two differ by the chaotic-basin decorrelation envelope
+    (~1e-4, BASELINE.md round-4 scope). All candidates are ranked by
+    the engine oracle at the end (a handful of 38 ms calls). Sobol
+    generation is one-time setup excluded from the wall like
+    compilation (same methodology as the Mersenne rows)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import numpy as np
 
     from scipy.optimize import least_squares
 
     from finmath_tpu.models.lmm.benchmark_calibration import (
         CURATED_BASINS, build_benchmark_calibration)
+    from finmath_tpu.models.lmm.kernel_backend import (
+        StochVolKernelCalibration)
     from finmath_tpu.models.qmc import sobol_brownian_increments
 
     PATHS, K = 81_920, 3
     setup = build_benchmark_calibration(num_paths=PATHS, brownian="sobol",
                                         seed=0)
-    aot_loaded = setup.load_aot()
     eng = setup.engine
-    incs = [np.asarray(sobol_brownian_increments(
+    incs = [eng._inc_np] + [np.asarray(sobol_brownian_increments(
         np.full(40, 0.5), eng._n_rng_factors, PATHS, seed=k))
         for k in range(1, K)]
+    kb = StochVolKernelCalibration(eng, incs)
+    aot_loaded = kb.load_programs()
+    aot_engine = eng.load_programs()
 
     p0 = setup.covariance.initial_parameters
-    sweep = setup.sweep_engine()
-    analytic = setup.analytic_engine()
     t0 = time.perf_counter()
     _warm_concurrently([
-        lambda: eng.residuals(p0),
-        lambda: eng.jacobian(p0),
-        lambda: eng.implied_vols(p0),
-        lambda: sweep.residuals(p0),
-        lambda: sweep.jacobian(p0),
-        lambda: analytic.residuals(p0),
-        lambda: analytic.jacobian(p0),
+        lambda: kb.residuals(p0),
+        lambda: kb.residuals_and_jacobian(p0),
+        lambda: eng.implied_vols(p0),     # final-ranking oracle
     ])
     compile_s = time.perf_counter() - t0
 
-    def fun(x):
-        r = np.asarray(eng.residuals(x), dtype=np.float64)
-        return np.nan_to_num(r, nan=1e3, posinf=1e3, neginf=-1e3)
+    W = np.asarray(kb._weight)
 
-    def jac(x):
-        J = np.asarray(eng.jacobian(x), dtype=np.float64)
-        return np.nan_to_num(J, nan=0.0, posinf=0.0, neginf=0.0)
+    def rms19_k(r):
+        return float(np.sqrt(np.sum((r / W) ** 2) / 19.0))
 
-    def rms19(x):
+    def rms19_engine(x):
         d = setup.deviations(x)
         return float(np.sqrt(np.sum(d ** 2) / 19))
 
-    t_all = time.perf_counter()
-    best_x, best_rms, best_k = None, np.inf, 0
-    per_seed = []
-    # the two shipped basins that win every observed continuation
-    # (primary + the QMC optimum); scoring more adds wall, not fit
-    starts = list(CURATED_BASINS[:2])
-    for k in range(K):
-        if k > 0:
-            setup.set_increments(incs[k - 1])
+    def make_funs(k):
+        def fun(x):
+            return np.nan_to_num(kb.residuals(x, k), nan=1e3, posinf=1e3,
+                                 neginf=-1e3)
+
+        def jac(x):
+            return np.nan_to_num(kb.jacobian(x, k), nan=0.0, posinf=0.0,
+                                 neginf=0.0)
+        return fun, jac
+
+    starts = [np.asarray(c) for c in CURATED_BASINS[:2]]
+
+    def chain(k):
+        """Score the shipped basins, two-stage trust-region polish on
+        realization k (all evaluations on the kernel backend)."""
+        fun, jac = make_funs(k)
         scores = [float(np.sqrt(np.mean(fun(x) ** 2))) for x in starts]
         cand = starts[int(np.argmin(scores))]
-        r1 = least_squares(fun, cand, jac=jac, method="trf",
-                           x_scale="jac", max_nfev=40)
-        r2 = least_squares(fun, r1.x, jac=jac, method="trf",
-                           x_scale="jac", max_nfev=250,
-                           ftol=1e-15, xtol=1e-15, gtol=1e-15)
-        e1 = float(np.sqrt(np.mean(fun(r1.x) ** 2)))
-        e2 = float(np.sqrt(np.mean(fun(r2.x) ** 2)))
-        xk = r1.x if e1 <= e2 else r2.x
-        rk = rms19(xk)
-        per_seed.append(round(rk, 6))
-        if rk < best_rms:
-            best_rms, best_x, best_k = rk, xk, k
-    # deepening stage (pre-registered): jittered trust-region restarts
-    # around the incumbent on the BEST realization — the sharp basin has
-    # nearby sub-basins the single polish trajectory misses (measured:
-    # a 1%-jitter restart reached rms19 0.1984% on a realization whose
-    # polish floor was 0.2049%). The engine currently holds realization
-    # K-1; ALWAYS restore the best one (realization 0 = the builder's
-    # own stream) so the restarts optimize and report the same
-    # realization best_realization claims.
-    if best_x is None:            # every polish diverged (NaN deviations)
-        best_x, best_rms = starts[0], rms19(starts[0])
-    if best_k > 0:
-        setup.set_increments(incs[best_k - 1])
-    else:
-        setup.set_increments(np.asarray(sobol_brownian_increments(
-            np.full(40, 0.5), eng._n_rng_factors, PATHS, seed=0)))
+        r1 = least_squares(fun, cand, jac=jac, method="trf", x_scale="jac",
+                           max_nfev=40)
+        r2 = least_squares(fun, r1.x, jac=jac, method="trf", x_scale="jac",
+                           max_nfev=250, ftol=1e-15, xtol=1e-15, gtol=1e-15)
+        e1, e2 = rms19_k(fun(r1.x)), rms19_k(fun(r2.x))
+        x, e = (r1.x, e1) if e1 <= e2 else (r2.x, e2)
+        return x, e, int(r1.nfev) + int(r2.nfev)
+
+    t_all = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=K) as ex:
+        chains = list(ex.map(chain, range(K)))
+    per_seed = [round(e, 6) for _, e, _ in chains]
+    best_k = int(np.argmin([e for _, e, _ in chains]))
+    best_x, best_kernel = chains[best_k][0], chains[best_k][1]
+    phase_a_s = time.perf_counter() - t_all
+
+    # deepening stage: jittered trust-region restarts around the incumbent
+    # on the BEST realization — the sharp basin has nearby sub-basins the
+    # single polish trajectory misses; independent, so concurrent
+    fun_b, jac_b = make_funs(best_k)
     rng = np.random.default_rng(11)
-    per_restart = []
-    for _ in range(4):
-        w = best_x * (1 + rng.normal(0.0, 0.01, best_x.shape[0]))
-        rr = least_squares(fun, w, jac=jac, method="trf", x_scale="jac",
+    jit_starts = [best_x * (1 + rng.normal(0.0, 0.01, best_x.shape[0]))
+                  for _ in range(4)]
+
+    def restart(w):
+        rr = least_squares(fun_b, w, jac=jac_b, method="trf", x_scale="jac",
                            max_nfev=120, ftol=1e-15, xtol=1e-15)
-        er = rms19(rr.x)
-        per_restart.append(round(er, 6))
-        if er < best_rms:
-            best_rms, best_x = er, rr.x
+        return rr.x, rms19_k(fun_b(rr.x))
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        restarts = list(ex.map(restart, jit_starts))
+    per_restart = [round(e, 6) for _, e in restarts]
+    # final ranking by the independent engine oracle over every candidate
+    # produced on the best realization (incumbent + restarts)
+    candidates = [(best_x, best_kernel)] + list(restarts)
+    ranked = [(rms19_engine(x), ek, x) for x, ek in candidates]
+    ranked.sort(key=lambda t: t[0])
+    best_rms, best_kernel, best_x = ranked[0]
+    phase_b_s = time.perf_counter() - t0
     wall = time.perf_counter() - t_all
     if not aot_loaded:
-        setup.export_aot()           # untimed; next process skips lowering
+        kb.export_programs()         # untimed; next process skips lowering
+    if not aot_engine:
+        eng.export_programs()
     return {
         "paths": PATHS,
-        "aot_programs": "loaded" if aot_loaded else "exported",
+        "aot_programs": "loaded" if (aot_loaded and aot_engine)
+                        else "exported",
+        "backend": "pallas kernel (residuals + CRN central-FD Jacobian)",
         "best_realization": best_k,
-        "per_restart_rms19": per_restart,
+        "per_restart_rms19_kernel": per_restart,
         "estimator": "scrambled Sobol + Brownian bridge "
-                     f"({K} independent Owen scramblings + 4 jittered "
-                     "restarts on the best)",
+                     f"({K} independent Owen scramblings, concurrent + 4 "
+                     "concurrent jittered restarts on the best)",
         "wall_s": round(wall, 3),
+        "phase_chains_s": round(phase_a_s, 3),
+        "phase_restarts_s": round(phase_b_s, 3),
         "compile_s": round(compile_s, 3),
         "best_rms19": round(best_rms, 6),
-        "per_realization_rms19": per_seed,
+        "best_rms19_kernel": round(best_kernel, 6),
+        "quality_oracle": "scan engine f64-collection implied vols at the "
+                          "kernel-calibrated optimum (independent oracle); "
+                          "best_rms19_kernel is the kernel's own in-sample "
+                          "fit",
+        "per_realization_rms19_kernel": per_seed,
         "reference_gpu_s": REF_GPU_S,
         "reference_rms19": 0.00198,
         "vs_reference_gpu_wall": round(REF_GPU_S / wall, 2),

@@ -97,11 +97,18 @@ class ATMCalibrationSetup:
 
     def calibrate(self, max_iterations: int = 200, accuracy: float = 1e-7,
                   lambda0: float = 0.1,
-                  warm_start: Optional[str] = None) -> LMResult:
+                  warm_start: Optional[str] = None,
+                  residual_backend=None) -> LMResult:
         # The Jacobian only steers the Levenberg-Marquardt step, so it may
         # be evaluated on a path subsample (jacobian_engine) while the
         # residuals — which define convergence and the reported fit — stay
         # at full resolution. This is the standard inexact-Jacobian LM.
+        #
+        # ``residual_backend`` (round 5): an ATMKernelCalibration built on
+        # this engine — the full-path residual sweep then runs on the
+        # Pallas kernel (~3x the scan engine, identical Threefry paths);
+        # convergence/fit semantics are unchanged (the backend replicates
+        # the engine's stream and product packing).
         x0 = np.asarray(self.covariance.initial_parameters, dtype=np.float64)
         if warm_start == "analytic":
             # Stage 1: calibrate the integrated-covariance analytic
@@ -121,8 +128,10 @@ class ATMCalibrationSetup:
         elif warm_start is not None:
             raise ValueError(f"unknown warm_start {warm_start!r}")
         jac = (self.jacobian_engine or self.engine).jacobian
+        res_fn = (residual_backend.residuals if residual_backend is not None
+                  else self.engine.residuals)
         lm = LevenbergMarquardt(
-            self.engine.residuals, jac,
+            res_fn, jac,
             lambda0=lambda0, max_iterations=max_iterations, accuracy=accuracy,
             lower_bound=0.0,
         )

@@ -191,7 +191,8 @@ class BenchmarkCalibrationSetup:
                              max_starts: int = 8, rng_seed: int = 123,
                              max_nfev: int = 250,
                              sweep_mode: str = "sequential",
-                             polish_jacobian: str = "full") -> LMResult:
+                             polish_jacobian: str = "full",
+                             kernel_backend=None) -> LMResult:
         """Staged global calibration, the TPU-first replacement for the
         reference's single finite-difference LM run.
 
@@ -229,7 +230,23 @@ class BenchmarkCalibrationSetup:
                 return np.nan_to_num(J, nan=0.0, posinf=0.0, neginf=0.0)
             return jac
 
-        fun, jac = _fun(eng), _jac(eng)
+        if kernel_backend is not None:
+            # round 5: the FULL-path hot loop (candidate ranking + polish)
+            # runs on the Pallas kernel backend — residuals one VMEM-
+            # resident sweep, Jacobian one batched CRN central-FD launch
+            # (2.5x the scan engine's jacfwd, NaN-free at the calibrated
+            # basin). Gate/report quality stays on the ENGINE oracle
+            # (self.deviations), so the published-target semantics are
+            # unchanged.
+            def fun(x):
+                return np.nan_to_num(kernel_backend.residuals(x),
+                                     nan=1e3, posinf=1e3, neginf=-1e3)
+
+            def jac(x):
+                return np.nan_to_num(kernel_backend.jacobian(x),
+                                     nan=0.0, posinf=0.0, neginf=0.0)
+        else:
+            fun, jac = _fun(eng), _jac(eng)
         sfun, sjac = _fun(sweep_eng), _jac(sweep_eng)
         # inexact-Jacobian polish (the atm_calibration.py pattern): the
         # Jacobian only steers the trust-region step, so the reduced-path

@@ -44,8 +44,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...ops.lmm_kernel import lmm_atm_swaptions_batch
 from ...ops.lmm_stochvol_kernel import _LANES, lmm_stochvol_swaptions_batch
-from .model import LMMValuationEngine, black_implied_vol_jnp
+from .model import (LMMValuationEngine, bachelier_implied_vol_jnp,
+                    black_implied_vol_jnp)
 
 
 class StochVolKernelCalibration:
@@ -315,4 +317,271 @@ class StochVolKernelCalibration:
             return jit_res(params_b, z_tiles)
 
         self._res_core, self._jac_core = res_dispatch, jac
+        return True
+
+
+class ATMKernelCalibration:
+    """Kernel-path residuals for the ATM surface calibration
+    (build_atm_calibration): the NORMAL-state-space multi-factor LMM
+    without stochastic volatility, ~156 swaptions + per-event numeraire-
+    adjustment rows collected in ONE VMEM-resident Pallas sweep
+    (ops/lmm_kernel.py ``lmm_atm_swaptions_batch``).
+
+    The normal realization REPLICATES the engine's own Threefry stream
+    (``jax.random.normal(fold_in(PRNGKey(seed), s), ...)`` — the stream
+    is a pure function of (seed, step), not engine state), so kernel and
+    engine price the IDENTICAL paths and residuals agree to the f32-
+    collection envelope. The headline calibration keeps its reduced-path
+    engine jacfwd Jacobian (inexact-J LM, atm_calibration.py) and swaps
+    only the full-path residuals onto this backend; a CRN central-FD
+    Jacobian is available via ``residuals_and_jacobian`` (one batched
+    launch over 2*n_params+1 parameter sets) where wanted."""
+
+    def __init__(self, engine: LMMValuationEngine,
+                 fd_abs: float = 5e-4, fd_rel: float = 0.0):
+        model = engine.model
+        cov = model.covariance
+        if model.measure != "spot" or model.state_space != "normal":
+            raise ValueError("ATM kernel backend: spot/NORMAL only")
+        if cov.has_stoch_vol:
+            raise ValueError("ATM kernel backend: no stochastic volatility")
+        if engine.mesh is not None or engine.antithetic:
+            raise ValueError("ATM kernel backend: single-device, plain MC")
+        if engine.value_unit != "VOLATILITYNORMAL":
+            raise ValueError("ATM kernel backend: VOLATILITYNORMAL products")
+        sim = model.sim_times
+        n = model.num_libors
+        if len(sim) - 1 != n:
+            raise ValueError("ATM kernel backend: sim grid == tenor grid")
+        dts = np.diff(sim)
+        if not np.allclose(dts, dts[0], atol=1e-12):
+            raise ValueError("ATM kernel backend: uniform time step")
+
+        self.engine = engine
+        self.num_paths = engine.num_paths
+        self._dt = float(dts[0])
+        self._n = n
+        self._F = engine.num_factors
+        self._n_params = int(cov.n_params)
+        self.fd_abs = float(fd_abs)
+        self.fd_rel = float(fd_rel)
+
+        self._products = tuple(
+            (int(p.exercise_index), int(p.num_periods), float(p.strike))
+            for p in engine.products)
+        self._num_steps = max(e for e, _, _ in self._products)
+        self._P = len(self._products)
+        self._events = tuple(int(e) for e in engine.exercise_indices)
+        ev_index = {e: j for j, e in enumerate(self._events)}
+        self._ev_of_product = jnp.asarray(
+            [ev_index[e] for e, _, _ in self._products])
+
+        # local-volatility form: either none or displaced (L + d) — the
+        # two ATM variants. Verify the functional form at the initial
+        # parameters; the displacement value itself is read per-pset in
+        # pack() (it may be calibrateable in principle).
+        self._displaced = bool(getattr(cov, "has_local_vol", False))
+        if self._displaced:
+            p0 = jnp.asarray(np.asarray(cov.initial_parameters, np.float64))
+            prep = cov.prepare(p0)
+            z11 = jnp.full((1, 1), 0.0)
+            d0 = float(cov.local_factor(prep, z11, z11)[0, 0])
+            d1 = float(cov.local_factor(prep, z11 + 1.0, z11)[0, 0])
+            dl0 = float(cov.local_factor(prep, z11, z11 + 1.0)[0, 0])
+            if abs((d1 - d0) - 1.0) > 1e-9 or abs(dl0 - d0) > 1e-9:
+                raise ValueError(
+                    "ATM kernel backend supports local factor (L + d) "
+                    "(displaced) or none; this covariance is neither")
+
+        self._fwd0 = jnp.asarray(engine._fwd0)
+        self._ann0 = jnp.asarray(engine._ann0)
+        self._strike = jnp.asarray(engine._strike)
+        self._texp = jnp.asarray(engine._texp)
+        self._target = jnp.asarray(engine._target)
+        self._weight = jnp.asarray(engine._weight)
+        self._df_exercise = jnp.asarray(engine._df_exercise)
+        self._use_adjustment = bool(model.use_numeraire_adjustment)
+        self._l0 = np.asarray(model.initial_forwards, dtype=np.float32)
+        self._deltas = np.asarray(model.deltas, dtype=np.float32)
+
+        self._z = self._make_z()
+        self._res_core = jax.jit(self._build_residuals_core())
+        self._jac_core = jax.jit(self._build_jac_core())
+
+    # ------------------------------------------------------------------
+    def _make_z(self) -> jax.Array:
+        """[tiles, S*F, 128] f32 standard normals in kernel order —
+        either the engine's injected realization or an exact REPLICA of
+        its per-step Threefry draws (model.py sim_step)."""
+        S, F, paths = self._num_steps, self._F, self.num_paths
+        if self.engine._inc_np is not None:
+            z = (np.asarray(self.engine._inc_np[:S])
+                 / np.sqrt(self._dt)).astype(np.float32)
+            z = z.reshape(S * F, paths)
+        else:
+            seed = self.engine.seed
+
+            def gen():
+                key = jax.random.PRNGKey(seed)
+                return jnp.stack([
+                    jax.random.normal(jax.random.fold_in(key, s),
+                                      (F, paths), dtype=jnp.float32)
+                    for s in range(S)]).reshape(S * F, paths)
+
+            z = np.asarray(jax.jit(gen)())
+        tiles = -(-paths // _LANES)
+        pad = tiles * _LANES - paths
+        if pad:
+            z = np.concatenate(
+                [z, np.zeros((S * F, pad), np.float32)], axis=1)
+        return jnp.asarray(np.ascontiguousarray(
+            z.reshape(S * F, tiles, _LANES).transpose(1, 0, 2)))
+
+    # ------------------------------------------------------------------
+    def _build_pack(self):
+        cov = self.engine.model.covariance
+        dt = self._dt
+        F, n, S = self._F, self._n, self._num_steps
+        displaced = self._displaced
+
+        def pack(params):
+            prep = cov.prepare(params)
+            vt = cov.vol_table(prep)[:S]                      # [S, n]
+            R = cov.factor_matrix(prep)                       # [n, F]
+            volT = (vt.T[None, :, :] * R.T[:, :, None]).reshape(F * n, S)
+            if displaced:
+                z11 = jnp.zeros((1, 1), dtype=params.dtype)
+                d = cov.local_factor(prep, z11, z11)[0, 0]
+            else:
+                d = jnp.zeros((), dtype=params.dtype)
+            zero = jnp.zeros((), dtype=params.dtype)
+            scal = jnp.stack([
+                jnp.asarray(dt, params.dtype),
+                jnp.asarray(np.sqrt(dt), params.dtype),
+                d, zero, zero, zero, zero, zero])
+            return volT.astype(jnp.float32), scal.astype(jnp.float32)
+
+        return pack
+
+    def _build_values_core(self):
+        pack = self._build_pack()
+        P, paths = self._P, self.num_paths
+        n, F = self._n, self._F
+        products, events = self._products, self._events
+        displaced = self._displaced
+        l0, deltas = self._l0, self._deltas
+        df_ex = self._df_exercise
+        ev_of = self._ev_of_product
+        use_adj = self._use_adjustment
+
+        def values_core(params_b, z_tiles):
+            volT_b, scal_b = jax.vmap(pack)(params_b)
+            out = lmm_atm_swaptions_batch(
+                z_tiles, volT_b, scal_b, l0, deltas,
+                num_libors=n, num_factors=F, products=products,
+                events=events, displaced=displaced, num_paths=paths)
+            sums = out[:, :P + len(events)].astype(jnp.float64)
+            sums = jnp.sum(sums, axis=-1)                     # [B, P+E]
+            raw = sums[:, :P] / paths
+            if not use_adj:
+                return raw
+            mean_inv = sums[:, P:] / paths                    # [B, E]
+            inv_p = mean_inv[:, ev_of]                        # [B, P]
+            return raw * jnp.where(inv_p > 0.0, df_ex / inv_p, 0.0)
+
+        return values_core
+
+    def _build_residuals_core(self):
+        values_core = self._build_values_core()
+        fwd0, ann0 = self._fwd0, self._ann0
+        strike, texp = self._strike, self._texp
+        target, weight = self._target, self._weight
+
+        def residuals_core(params_b, z_tiles):
+            v = values_core(params_b, z_tiles)
+            iv = jax.vmap(lambda vb: bachelier_implied_vol_jnp(
+                vb, fwd0, strike, texp, ann0))(v)
+            return weight * (iv - target)
+
+        return residuals_core
+
+    def _build_jac_core(self):
+        res_core = self._build_residuals_core()
+        n_params = self._n_params
+        fd_abs, fd_rel = self.fd_abs, self.fd_rel
+
+        def jac_core(params, z_tiles):
+            h = fd_abs + fd_rel * jnp.abs(params)
+            eye = jnp.eye(n_params, dtype=params.dtype)
+            X = jnp.concatenate([
+                params[None, :],
+                params[None, :] + eye * h[:, None],
+                params[None, :] - eye * h[:, None]], axis=0)
+            r = res_core(X, z_tiles)
+            J = (r[1:1 + n_params] - r[1 + n_params:]) / (2.0 * h[:, None])
+            return r[0], J.T
+
+        return jac_core
+
+    # ------------------------------------------------------------------
+    def _params(self, x) -> jax.Array:
+        x = jnp.asarray(x, dtype=jnp.float64)
+        if x.shape != (self._n_params,):
+            raise ValueError(f"params shape {x.shape} != ({self._n_params},)")
+        return x
+
+    def residuals(self, x) -> np.ndarray:
+        return np.asarray(self._res_core(self._params(x)[None, :],
+                                         self._z))[0]
+
+    def jacobian(self, x) -> np.ndarray:
+        _, J = self._jac_core(self._params(x), self._z)
+        return np.asarray(J)
+
+    def residuals_and_jacobian(self, x):
+        r0, J = self._jac_core(self._params(x), self._z)
+        return np.asarray(r0), np.asarray(J)
+
+    def implied_vols(self, x) -> np.ndarray:
+        w = np.asarray(self._weight)
+        r = self.residuals(x)
+        return np.asarray(self._target) + np.where(
+            w != 0.0, r / np.where(w != 0.0, w, 1.0), 0.0)
+
+    # ------------------------------------------------------------------
+    def _aot_config(self):
+        return self.engine._aot_config() + (
+            "atm_kernel_backend", self._products, self._events,
+            self._num_steps, self._displaced, self.fd_abs, self.fd_rel,
+            tuple(self._z.shape))
+
+    def export_programs(self, directory=None) -> int:
+        from ...utils import aot
+
+        directory = directory or aot.default_cache_dir()
+        cfg = self._aot_config()
+        zs = jax.ShapeDtypeStruct(self._z.shape, jnp.float32)
+        p1 = jax.ShapeDtypeStruct((1, self._n_params), jnp.float64)
+        n = 0
+        if aot.save_program(directory, "akres", cfg + ("akres",),
+                            self._res_core, p1, zs) is not None:
+            n += 1
+        return n
+
+    def load_programs(self, directory=None) -> bool:
+        from ...utils import aot
+
+        directory = directory or aot.default_cache_dir()
+        cfg = self._aot_config()
+        res = aot.load_program(directory, "akres", cfg + ("akres",))
+        if res is None:
+            return False
+        jit_res = self._res_core
+
+        def res_dispatch(params_b, z_tiles):
+            if params_b.shape[0] == 1:
+                return res(params_b, z_tiles)
+            return jit_res(params_b, z_tiles)
+
+        self._res_core = res_dispatch
         return True

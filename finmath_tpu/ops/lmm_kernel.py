@@ -162,6 +162,157 @@ def lmm_swaption_kernel(seed: int, num_paths: int, num_libors: int,
     return jnp.sum(flat.astype(ACC_DTYPE)) / num_paths
 
 
+# ---------------------------------------------------------------------------
+# round 5: the ATM CALIBRATION kernel — all ~156 surface swaptions collected
+# in one path sweep (plus one 1/numeraire row per exercise event for the
+# deterministic numeraire adjustment), batched over a leading parameter-set
+# axis like the stoch-vol calibration kernel
+# (ops/lmm_stochvol_kernel.py _sv_kernel_products). Because the ATM surface
+# has ~170 output rows x hundreds of path tiles, per-path payoffs are NOT
+# emitted: each (pset, tile) program ACCUMULATES its [rows, 128] lane sums
+# into a block that persists across the (sequential) tile grid axis — the
+# classic Pallas reduction pattern; the f64 lane reduction happens outside.
+# ---------------------------------------------------------------------------
+
+
+def _normal_lmm_kernel_products(scal_ref, volT_ref, l0_ref, delta_ref,
+                                normals_ref, out_ref, *, num_libors: int,
+                                num_factors: int, products, events,
+                                p_pad: int, displaced: bool,
+                                num_paths: int):
+    """One (parameter set, path tile) program for the NORMAL-state-space
+    multi-factor LMM without stochastic volatility (the ATM workload,
+    LIBORMarketModelCalibrationATMTest.java:270-466).
+
+    grid = (B, num_tiles), tile axis innermost/sequential. scal (SMEM f32
+    [B, 8]): [dt, sqrt_dt, displacement, 0...]. volT block (1, F*n, S)
+    picked by pset (sigma_i(t_s) * R_{i,f} factor-major). normals block
+    (1, S*F, 128) picked by tile, consumed step-major. Output block
+    (1, p_pad, 128) accumulates per-lane PATH SUMS across tiles: row k
+    (< len(products)) is sum of payoff/N for product k, row
+    len(products)+j is sum of 1/N at event j (the numeraire-adjustment
+    denominator). Collection happens at the START of the exercise step,
+    BEFORE accrual/evolution — the engine's collect ordering."""
+    p = pl.program_id(0).astype(jnp.int32)
+    i = pl.program_id(1)
+    dt = scal_ref[p, 0]
+    sqrt_dt = scal_ref[p, 1]
+    disp = scal_ref[p, 2]
+
+    n, F = num_libors, num_factors
+    num_steps = max(e for e, _, _ in products)
+    by_step = {}
+    for k, (e, m, strike) in enumerate(products):
+        by_step.setdefault(e, []).append((k, m, strike))
+    ev_of_step = {e: j for j, e in enumerate(events)}
+
+    one = jnp.float32(1.0)
+    delta = delta_ref[...]                                   # [n, 1]
+    L = l0_ref[...] * jnp.ones((n, _LANES), dtype=jnp.float32)
+    N = jnp.ones((1, _LANES), dtype=jnp.float32)
+
+    next_z = make_z_row_source(normals_ref, _DRAW)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    P = len(products)
+    rows = [None] * (P + len(events))
+
+    def collect(s):
+        inv_n = one / N
+        rows[P + ev_of_step[s]] = inv_n
+        for k, m, strike in by_step[s]:
+            in_swap = jnp.logical_and(iota >= s, iota < s + m)
+            r = jnp.where(in_swap, one / (one + delta * L), one)
+            cp = _prefix_scan(r, n, jnp.multiply, 1.0)
+            ann = jnp.sum(jnp.where(in_swap, cp * delta, jnp.float32(0.0)),
+                          axis=0, keepdims=True)
+            p_end = cp[s + m - 1:s + m]
+            payoff = jnp.maximum(one - p_end - jnp.float32(strike) * ann, 0.0)
+            rows[k] = payoff * inv_n
+
+    for s in range(num_steps + 1):
+        if s in by_step:
+            collect(s)
+        if s == num_steps:
+            break
+        zs = [next_z() for _ in range(F)]                     # [1, 128] each
+        N = N * (one + delta[s:s + 1] * L[s:s + 1])
+        alive = iota >= s + 1
+        lf = (L + disp) if displaced else None
+        mt = delta / (one + delta * L)
+        mu = jnp.zeros((n, _LANES), dtype=jnp.float32)
+        diffusion = jnp.zeros((n, _LANES), dtype=jnp.float32)
+        for f in range(F):
+            base = jnp.where(alive, volT_ref[0, f * n:(f + 1) * n, s:s + 1],
+                             jnp.float32(0.0))                # [n, 1]
+            lam = base * lf if displaced else base
+            mu = mu + lam * _prefix_scan(mt * lam, n, jnp.add, 0.0)
+            diffusion = diffusion + lam * (sqrt_dt * zs[f])
+        L = jnp.clip(L + mu * dt + diffusion,
+                     jnp.float32(-1e3), jnp.float32(1e3))
+
+    pad = [jnp.zeros((1, _LANES), jnp.float32)] * (p_pad - len(rows))
+    stacked = jnp.concatenate(rows + pad, axis=0)             # [p_pad, 128]
+    # the z source zero-pads the path axis to a whole tile; those pad
+    # "paths" still simulate and would pollute the lane sums — zero them
+    # here (per-path-output kernels slice instead; an accumulator cannot)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    valid = (i.astype(jnp.int32) * _LANES + lane) < num_paths
+    stacked = jnp.where(valid, stacked, jnp.float32(0.0))
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[0] = stacked
+
+    @pl.when(i != 0)
+    def _accumulate():
+        out_ref[0] = out_ref[0] + stacked
+
+
+def lmm_atm_swaptions_batch(z_tiles, volT_b, scal_b, initial_forwards,
+                            deltas, *, num_libors: int, num_factors: int,
+                            products, events, displaced: bool,
+                            num_paths: int):
+    """Traceable batched ATM-surface pricer: per-lane PATH SUMS
+    ``[B, p_pad, LANES]`` (f32) — rows ``[0, P)`` are sums of
+    payoff/numeraire per product, rows ``[P, P+E)`` sums of 1/numeraire
+    per exercise event — for ``B`` parameter sets sharing one normal
+    realization. The caller reduces lanes in f64, divides by num_paths
+    and applies the deterministic numeraire adjustment
+    (df(T_e) / E[1/N(T_e)]), mirroring LMMValuationEngine.values."""
+    B = volT_b.shape[0]
+    num_tiles, rows, _ = z_tiles.shape
+    total = len(products) + len(events)
+    p_pad = max(8, -(-total // 8) * 8)
+    l0 = jnp.asarray(initial_forwards, dtype=jnp.float32).reshape(-1, 1)
+    dl = jnp.asarray(deltas, dtype=jnp.float32).reshape(-1, 1)
+
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(
+                _normal_lmm_kernel_products, num_libors=num_libors,
+                num_factors=num_factors, products=tuple(products),
+                events=tuple(events), p_pad=p_pad, displaced=displaced,
+                num_paths=num_paths),
+            grid=(B, num_tiles),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, volT_b.shape[1], volT_b.shape[2]),
+                             lambda p, i: (p, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, rows, _LANES), lambda p, i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, p_pad, _LANES), lambda p, i: (p, 0, 0),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, p_pad, _LANES), jnp.float32),
+        )(scal_b.astype(jnp.float32), volT_b.astype(jnp.float32), l0, dl,
+          z_tiles.astype(jnp.float32))
+    return out
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3),
                    static_argnames=("interpret",))
 def lmm_swaption_kernel_with_normals(normals, num_libors: int,

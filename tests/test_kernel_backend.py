@@ -151,3 +151,89 @@ class TestKernelBackendParity:
         atm = build_atm_calibration(num_paths=128, num_factors=1, seed=1)
         with pytest.raises(ValueError):
             StochVolKernelCalibration(atm.engine, [inc])
+
+
+# ---------------------------------------------------------------------------
+# ATM kernel backend (NORMAL state space, no stoch vol, numeraire
+# adjustment, Threefry-stream replication)
+# ---------------------------------------------------------------------------
+
+from finmath_tpu.models.lmm.covariance import (  # noqa: E402
+    DisplacedLocalVolatilityModel,
+    LIBORCorrelationModelExponentialDecay,
+    LIBORVolatilityModelPiecewiseConstant)
+from finmath_tpu.models.lmm.kernel_backend import (  # noqa: E402
+    ATMKernelCalibration)
+
+
+def _small_atm_setup(paths=250, seed=17, displaced=False, num_factors=2):
+    """ATM-family model at interpreter-tractable size: piecewise-constant
+    vol buckets, exponential-decay correlation, numeraire adjustment ON,
+    engine-owned Threefry stream (NOT injected — the backend must
+    replicate it). 250 paths deliberately NOT a multiple of 128: the
+    accumulating kernel must mask the zero-padded tail paths."""
+    from finmath_tpu.models.lmm.covariance import (
+        LIBORCovarianceModelFromVolatilityAndCorrelation)
+
+    fix = np.arange(0.0, 10.5, 0.5)
+    fwd = 0.02 + 0.002 * np.sin(fix)
+    fc = ForwardCurveFromForwards(fix, fwd, 0.5)
+    dc = DiscountCurveFromForwardCurve(fc, horizon=12.0)
+    td = TimeDiscretization(initial=0.0, num_steps=N_LIBORS, step=0.5)
+    buckets = np.asarray([0.0, 1.0, 2.0, 4.0, 6.0])
+    vol_model = LIBORVolatilityModelPiecewiseConstant(
+        td, td, buckets, buckets, initial_volatility=0.005)
+    corr = LIBORCorrelationModelExponentialDecay(td, num_factors, decay=0.1)
+    cov = LIBORCovarianceModelFromVolatilityAndCorrelation(vol_model, corr)
+    if displaced:
+        cov = DisplacedLocalVolatilityModel(cov, 4.0, is_calibrateable=False)
+    model = LIBORMarketModelTPU(td, fc, dc, cov, measure="spot",
+                                state_space="normal",
+                                use_numeraire_adjustment=True)
+    from finmath_tpu.models.curves import par_swap_rate
+
+    tenor = model.tenor_times
+    products = []
+    for e, m in ((2, 4), (4, 4), (6, 4), (6, 6)):
+        strike = par_swap_rate(fc, dc, tenor[e:e + m + 1])
+        products.append(SwaptionProduct(
+            exercise_index=e, num_periods=m, strike=strike,
+            target=0.005, weight=1.0, value_unit="VOLATILITYNORMAL"))
+    engine = LMMValuationEngine(model, products, paths, num_factors,
+                                seed=seed, scan_mode="segmented")
+    return engine, cov
+
+
+class TestATMKernelBackend:
+    @pytest.mark.smoke
+    def test_residuals_match_engine_threefry_replica(self):
+        engine, cov = _small_atm_setup()
+        kb = ATMKernelCalibration(engine)
+        x0 = np.asarray(cov.initial_parameters)
+        x1 = x0 * np.linspace(0.7, 1.6, x0.size)
+        for x in (x0, x1):
+            with pltpu.force_tpu_interpret_mode():
+                r_k = kb.residuals(x)
+            r_e = np.asarray(engine.residuals(x))
+            np.testing.assert_allclose(r_k, r_e, atol=5e-5)
+
+    def test_displaced_variant_and_jacobian(self):
+        engine, cov = _small_atm_setup(displaced=True)
+        kb = ATMKernelCalibration(engine)
+        x0 = np.asarray(cov.initial_parameters)
+        with pltpu.force_tpu_interpret_mode():
+            r_k = kb.residuals(x0)
+            r0, J_k = kb.residuals_and_jacobian(x0)
+        r_e = np.asarray(engine.residuals(x0))
+        np.testing.assert_allclose(r_k, r_e, atol=5e-5)
+        np.testing.assert_allclose(r0, r_k, atol=1e-12)
+        J_e = np.asarray(engine.jacobian(x0))
+        scale = np.maximum(np.abs(J_e).max(axis=0), 1e-4)
+        rel = np.abs(J_k - J_e) / scale[None, :]
+        assert rel.max() < 0.05, rel.max()
+
+    @pytest.mark.smoke
+    def test_guards(self):
+        engine, _, _ = _small_setup(paths=128, seed=9)
+        with pytest.raises(ValueError):     # stoch-vol engine refused
+            ATMKernelCalibration(engine)
