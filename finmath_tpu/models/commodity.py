@@ -149,11 +149,18 @@ class SchwartzSmithModel:
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnums=(1, 2))
-def _ss_scan(key, num_paths: int, antithetic: bool, e_k, l11, l21, l22):
+def _ss_scan(key, num_paths: int, antithetic: bool, e_k, l11, l21, l22,
+             path_zero=None):
     """Exact per-step transition of the MEAN-ZERO factors:
     chi' = chi e^{-k dt} + l11 Z1; xi' = xi + l21 Z1 + l22 Z2
     (the deterministic means are exact host f64, added in the
-    pricers). Histories [steps+1, paths]."""
+    pricers). Histories [steps+1, paths].
+
+    ``path_zero``: optional [num_paths] f32 zeros state template — a
+    mesh-sharded one (NamedSharding over the path axis) partitions the
+    scan and histories over the device mesh via XLA SPMD propagation on
+    the identical partitionable-Threefry stream (the credit-layer
+    pattern, models/credit.py _wwr_scan)."""
     half = num_paths // 2 if antithetic else num_paths
 
     def step(carry, inp):
@@ -173,8 +180,10 @@ def _ss_scan(key, num_paths: int, antithetic: bool, e_k, l11, l21, l22):
 
     steps = e_k.shape[0]
     keys = jax.random.split(key, steps)
-    chi0 = jnp.zeros((num_paths,), dtype=FLOAT_DTYPE)
-    xi0 = jnp.zeros((num_paths,), dtype=FLOAT_DTYPE)
+    if path_zero is None:
+        path_zero = jnp.zeros((num_paths,), dtype=FLOAT_DTYPE)
+    chi0 = path_zero
+    xi0 = path_zero
     _, (chis, xis) = jax.lax.scan(
         step, (chi0, xi0), (keys, e_k, l11, l21, l22))
     return (jnp.concatenate([chi0[None], chis], axis=0),
@@ -233,9 +242,21 @@ class SchwartzSmithSimulation:
     def __init__(self, model: SchwartzSmithModel,
                  time_discretization: TimeDiscretization,
                  num_paths: int = 200_000, seed: int = 1729,
-                 antithetic: bool = True):
+                 antithetic: bool = True,
+                 mesh=None, path_axis: str = "paths"):
+        """``mesh``: optional ``jax.sharding.Mesh`` — the path axis of
+        the factor histories shards over it (NamedSharding state
+        template), so the futures/option/spread pricing cores are SPMD-
+        partitioned with means reduced over ICI; identical Threefry
+        stream as unmeshed."""
         if antithetic and num_paths % 2:
             raise ValueError("antithetic needs an even num_paths")
+        if mesh is not None and num_paths % mesh.devices.size:
+            raise ValueError(
+                f"num_paths {num_paths} must be divisible by the mesh "
+                f"size {mesh.devices.size}")
+        self.mesh = mesh
+        self.path_axis = path_axis
         self.model = model
         self.td = time_discretization
         self.num_paths = int(num_paths)
@@ -253,10 +274,16 @@ class SchwartzSmithSimulation:
         l11 = np.sqrt(v_chi)
         l21 = c / np.maximum(l11, 1e-300)
         l22 = np.sqrt(np.maximum(v_xi - l21 * l21, 0.0))
+        path_zero = jnp.zeros((self.num_paths,), dtype=FLOAT_DTYPE)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            path_zero = jax.device_put(
+                path_zero, NamedSharding(mesh, PartitionSpec(path_axis)))
         self._chis, self._xis = _ss_scan(
             jax.random.PRNGKey(int(seed)), self.num_paths,
             self.antithetic, jnp.asarray(ek), jnp.asarray(l11),
-            jnp.asarray(l21), jnp.asarray(l22))
+            jnp.asarray(l21), jnp.asarray(l22), path_zero=path_zero)
         # exact deterministic means at the grid points
         e_t = np.exp(-k * times)
         self._chi_mean = (model.chi0 * e_t

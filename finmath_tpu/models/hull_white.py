@@ -240,11 +240,17 @@ class HullWhiteModel:
 
 @partial(jax.jit, static_argnums=(1, 2))
 def _hw_scan(key, num_paths: int, antithetic: bool,
-             e_a, b_dt, lx, lyx, ly):
+             e_a, b_dt, lx, lyx, ly, path_zero=None):
     """Scan of the exact joint transition: per step,
     x' = x e^{-a dt} + lx Z1; Y' = Y + x B(dt) + lyx Z1 + ly Z2
     (lx/lyx/ly the per-step Cholesky of the (eps, eta) covariance).
-    Returns histories [steps+1, paths] of x and Y."""
+    Returns histories [steps+1, paths] of x and Y.
+
+    ``path_zero``: optional [num_paths] f32 zeros used as the state
+    template — passing a mesh-sharded one (NamedSharding over the path
+    axis) partitions the scan AND the histories over the device mesh via
+    XLA SPMD propagation, on the IDENTICAL partitionable-Threefry stream
+    (the credit-layer pattern, models/credit.py _wwr_scan)."""
     half = num_paths // 2 if antithetic else num_paths
 
     def step(carry, inp):
@@ -265,8 +271,10 @@ def _hw_scan(key, num_paths: int, antithetic: bool,
 
     steps = e_a.shape[0]
     keys = jax.random.split(key, steps)
-    x0 = jnp.zeros((num_paths,), dtype=FLOAT_DTYPE)
-    y0 = jnp.zeros((num_paths,), dtype=FLOAT_DTYPE)
+    if path_zero is None:
+        path_zero = jnp.zeros((num_paths,), dtype=FLOAT_DTYPE)
+    x0 = path_zero
+    y0 = path_zero
     _, (xs, ys) = jax.lax.scan(step, (x0, y0),
                                (keys, e_a, b_dt, lx, lyx, ly))
     return (jnp.concatenate([x0[None], xs], axis=0),
@@ -307,9 +315,22 @@ class HullWhiteSimulation:
 
     def __init__(self, model: HullWhiteModel,
                  time_discretization: TimeDiscretization, num_paths: int,
-                 seed: int = 3141, antithetic: bool = False):
+                 seed: int = 3141, antithetic: bool = False,
+                 mesh=None, path_axis: str = "paths"):
+        """``mesh``: optional ``jax.sharding.Mesh`` — the path axis of
+        the state histories shards over it (NamedSharding state template,
+        models/credit.py pattern), so every downstream consumer (bond/
+        caplet/swaption cores, TARN sweep, Bermudan LS regression) is
+        SPMD-partitioned by XLA with its means/normal-equations reduced
+        over ICI. Identical Threefry stream as the unmeshed run."""
         if antithetic and num_paths % 2:
             raise ValueError("antithetic needs an even num_paths")
+        if mesh is not None and num_paths % mesh.devices.size:
+            raise ValueError(
+                f"num_paths {num_paths} must be divisible by the mesh "
+                f"size {mesh.devices.size}")
+        self.mesh = mesh
+        self.path_axis = path_axis
         self.model = model
         self.td = time_discretization
         self.num_paths = int(num_paths)
@@ -332,10 +353,17 @@ class HullWhiteSimulation:
         lx = np.sqrt(vx)
         lyx = cxy / np.maximum(lx, 1e-300)
         ly = np.sqrt(np.maximum(vy - lyx * lyx, 0.0))
+        path_zero = jnp.zeros((self.num_paths,), dtype=FLOAT_DTYPE)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            path_zero = jax.device_put(
+                path_zero, NamedSharding(mesh, PartitionSpec(path_axis)))
         self._xs, self._ys = _hw_scan(
             jax.random.PRNGKey(self.seed), self.num_paths, self.antithetic,
             jnp.asarray(np.exp(-a * dts)), jnp.asarray(_b(a, dts)),
-            jnp.asarray(lx), jnp.asarray(lyx), jnp.asarray(ly))
+            jnp.asarray(lx), jnp.asarray(lyx), jnp.asarray(ly),
+            path_zero=path_zero)
         # deterministic state at the grid points (host f64)
         st = np.array([model.gaussian_state(t) for t in times])
         self._phi, self._c, self._v = st[:, 0], st[:, 1], st[:, 2]

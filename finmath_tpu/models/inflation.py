@@ -239,12 +239,18 @@ class JarrowYildirimSimulation:
     def __init__(self, model: JarrowYildirimModel,
                  time_discretization: TimeDiscretization,
                  num_paths: int = 200_000, seed: int = 271,
-                 antithetic: bool = True):
+                 antithetic: bool = True,
+                 mesh=None, path_axis: str = "paths"):
+        """``mesh``: optional ``jax.sharding.Mesh`` — paths shard over
+        it through the underlying cross-currency engine (the JY model IS
+        the meshed ``CrossCurrencySimulation`` with the real economy as
+        'foreign' and the CPI as the 'FX rate')."""
         self.model = model
         self.sim = CrossCurrencySimulation(model.xccy,
                                            time_discretization,
                                            num_paths, seed=seed,
-                                           antithetic=antithetic)
+                                           antithetic=antithetic,
+                                           mesh=mesh, path_axis=path_axis)
 
     def cpi(self, time: float):
         return self.sim.fx(time)

@@ -190,11 +190,20 @@ class MarketRiskEngine:
     covariance matrix) or historical (a returns matrix). Spot and vol
     factors per underlying: the factor vector is [spots..., vols...]."""
 
-    def __init__(self, book: OptionBook, horizon: float = 1.0 / 252.0):
+    def __init__(self, book: OptionBook, horizon: float = 1.0 / 252.0,
+                 mesh=None, path_axis: str = "paths"):
+        """``mesh``: optional ``jax.sharding.Mesh`` — the SCENARIO axis
+        (this engine's Monte-Carlo path axis) shards over it: the factor
+        shock matrices are device_put with a NamedSharding and the full-
+        revaluation + tail-statistics cores are SPMD-partitioned by XLA
+        (the sort/quantile gathers over ICI; the per-instrument
+        revaluation, the bulk of the FLOPs, stays fully local)."""
         if horizon <= 0:
             raise ValueError("horizon must be positive")
         self.book = book
         self.horizon = float(horizon)
+        self.mesh = mesh
+        self.path_axis = path_axis
         b = book
         self._consts = (jnp.asarray(b.spots), jnp.float64(b.rate),
                         jnp.asarray(b.idx), jnp.asarray(b.strikes),
@@ -203,6 +212,17 @@ class MarketRiskEngine:
 
     # ------------------------------------------------------------------
     def _report(self, spot_f, vol_f, quantile: float) -> RiskReport:
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            if spot_f.shape[0] % self.mesh.devices.size:
+                raise ValueError(
+                    f"scenario count {spot_f.shape[0]} must be divisible "
+                    f"by the mesh size {self.mesh.devices.size}")
+            sh = NamedSharding(self.mesh,
+                               PartitionSpec(self.path_axis, None))
+            spot_f = jax.device_put(spot_f, sh)
+            vol_f = jax.device_put(vol_f, sh)
         ones = jnp.ones((1, self.book.num_underlyings))
         base = _book_values(ones, ones, *self._consts)    # [1, I]
         scen = _book_values(spot_f, vol_f, *self._consts)
