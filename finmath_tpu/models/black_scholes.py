@@ -147,6 +147,30 @@ class EuropeanOption:
     def get_value(self, model: MonteCarloBlackScholesModel) -> float:
         return self.get_value_random_variable(model).get_average()
 
+    def get_value_and_error(self, model) -> tuple:
+        import numpy as np
+
+        out = np.asarray(self.packed_value_and_error(model))
+        return float(out[0]), float(out[1])
+
+    def packed_value_and_error(self, model):
+        """Traced [2] (value, stderr) on device — no host transfer; the
+        building block of ``price_portfolio``'s one-transfer book
+        (equity_products.py)."""
+        import jax.numpy as jnp
+
+        from ..ops.random_variable import ACC_DTYPE
+
+        rv = self.get_value_random_variable(model)
+        if rv.is_deterministic():
+            return jnp.stack([jnp.asarray(rv.get_average(), ACC_DTYPE),
+                              jnp.zeros((), ACC_DTYPE)])
+        pay = rv.values.astype(ACC_DTYPE)
+        n = pay.shape[-1]
+        mean = jnp.sum(pay) / n
+        var = jnp.sum((pay - mean) ** 2) / (n - 1)
+        return jnp.stack([mean, jnp.sqrt(var / n)])
+
     getValue = get_value
 
 

@@ -105,12 +105,17 @@ class DigitalOption:
         self.strike = float(strike)
         self.is_call = bool(is_call)
 
-    def get_value_and_error(self, model) -> tuple:
+    def packed_value_and_error(self, model):
+        """Traced [2] (value, stderr) on device — no host transfer; the
+        building block of ``price_portfolio``'s one-transfer book."""
         s_t = model.get_asset_value(self.maturity).values
         df = _deterministic_dfs(model, [self.maturity])[0]
-        out = np.asarray(_digital_kernel(
+        return _digital_kernel(
             s_t, jnp.asarray(df, dtype=ACC_DTYPE),
-            jnp.asarray(self.strike, dtype=FLOAT_DTYPE), self.is_call))
+            jnp.asarray(self.strike, dtype=FLOAT_DTYPE), self.is_call)
+
+    def get_value_and_error(self, model) -> tuple:
+        out = np.asarray(self.packed_value_and_error(model))
         return float(out[0]), float(out[1])
 
     def get_value(self, model) -> float:
@@ -177,7 +182,8 @@ class AsianOption:
         self.average = average
         self.control_variate = control_variate
 
-    def get_value_and_error(self, model) -> tuple:
+    def packed_value_and_error(self, model):
+        """Traced [2] (value, stderr) on device — no host transfer."""
         assets = model.get_asset_values(self.averaging_times)
         df = _deterministic_dfs(model, [self.averaging_times[-1]])[0]
         if self.control_variate == "geometric":
@@ -191,15 +197,17 @@ class AsianOption:
             geo = geometric_asian_option_value(
                 bs.initial_value, bs.risk_free_rate, bs.volatility,
                 self.averaging_times, self.strike, self.is_call)
-            out = np.asarray(_asian_cv_kernel(
+            return _asian_cv_kernel(
                 assets, jnp.asarray(df, dtype=ACC_DTYPE),
                 jnp.asarray(self.strike, dtype=FLOAT_DTYPE), geo,
-                self.is_call))
-        else:
-            out = np.asarray(_asian_kernel(
-                assets, jnp.asarray(df, dtype=ACC_DTYPE),
-                jnp.asarray(self.strike, dtype=FLOAT_DTYPE), self.is_call,
-                self.average == "geometric"))
+                self.is_call)
+        return _asian_kernel(
+            assets, jnp.asarray(df, dtype=ACC_DTYPE),
+            jnp.asarray(self.strike, dtype=FLOAT_DTYPE), self.is_call,
+            self.average == "geometric")
+
+    def get_value_and_error(self, model) -> tuple:
+        out = np.asarray(self.packed_value_and_error(model))
         return float(out[0]), float(out[1])
 
     def get_value(self, model) -> float:
@@ -277,7 +285,8 @@ class BarrierOption:
         self.monitoring = monitoring
         self.rebate = float(rebate)
 
-    def get_value_and_error(self, model) -> tuple:
+    def packed_value_and_error(self, model):
+        """Traced [2] (value, stderr) on device — no host transfer."""
         times = _grid_times_up_to(model, self.maturity)
         assets = model.get_asset_values(times)
         df = _deterministic_dfs(model, [self.maturity])[0]
@@ -294,20 +303,22 @@ class BarrierOption:
                               dtype=assets.dtype)
             steps = np.diff([0.0] + times)
             inv = 1.0 / (bs.volatility**2 * steps)
-            out = np.asarray(_barrier_bridge_kernel(
+            return _barrier_bridge_kernel(
                 jnp.concatenate([s0_row, assets], axis=0),
                 jnp.asarray(df, dtype=ACC_DTYPE),
                 jnp.asarray(self.strike, dtype=FLOAT_DTYPE),
                 jnp.asarray(self.barrier, dtype=FLOAT_DTYPE),
                 up, knock_in, self.is_call,
                 inv_var_dt=jnp.asarray(inv, dtype=ACC_DTYPE),
-                rebate=self.rebate))
-        else:
-            out = np.asarray(_barrier_discrete_kernel(
-                assets, jnp.asarray(df, dtype=ACC_DTYPE),
-                jnp.asarray(self.strike, dtype=FLOAT_DTYPE),
-                jnp.asarray(self.barrier, dtype=FLOAT_DTYPE),
-                up, knock_in, self.is_call, self.rebate))
+                rebate=self.rebate)
+        return _barrier_discrete_kernel(
+            assets, jnp.asarray(df, dtype=ACC_DTYPE),
+            jnp.asarray(self.strike, dtype=FLOAT_DTYPE),
+            jnp.asarray(self.barrier, dtype=FLOAT_DTYPE),
+            up, knock_in, self.is_call, self.rebate)
+
+    def get_value_and_error(self, model) -> tuple:
+        out = np.asarray(self.packed_value_and_error(model))
         return float(out[0]), float(out[1])
 
     def get_value(self, model) -> float:
@@ -371,7 +382,8 @@ class LookbackOption:
         self.lookback_type = lookback_type
         self.strike = float(strike) if fixed else 0.0
 
-    def get_value_and_error(self, model) -> tuple:
+    def packed_value_and_error(self, model):
+        """Traced [2] (value, stderr) on device — no host transfer."""
         times = _grid_times_up_to(model, self.maturity)
         assets = model.get_asset_values(times)
         df = _deterministic_dfs(model, [self.maturity])[0]
@@ -379,11 +391,14 @@ class LookbackOption:
         s0_row = jnp.full((1, assets.shape[1]), s0, dtype=assets.dtype)
         kind = "min" if self.lookback_type in ("floating-call",
                                                "fixed-put") else "max"
-        out = np.asarray(_lookback_kernel(
+        return _lookback_kernel(
             jnp.concatenate([s0_row, assets], axis=0),
             jnp.asarray(df, dtype=ACC_DTYPE),
             jnp.asarray(self.strike, dtype=ACC_DTYPE), kind,
-            self.lookback_type.startswith("fixed")))
+            self.lookback_type.startswith("fixed"))
+
+    def get_value_and_error(self, model) -> tuple:
+        out = np.asarray(self.packed_value_and_error(model))
         return float(out[0]), float(out[1])
 
     def get_value(self, model) -> float:
@@ -401,3 +416,30 @@ def _spot_of(model) -> float:
         raise NotImplementedError(
             "facade does not expose initial_value for the t=0 row")
     return float(s0)
+
+
+# ---------------------------------------------------------------------------
+# portfolio pricing: one transfer for a whole book
+# ---------------------------------------------------------------------------
+
+def price_portfolio(model, products) -> list:
+    """[(value, stderr)] for a product book with ONE packed host
+    transfer.
+
+    JAX dispatch is asynchronous, so the per-product kernels pipeline on
+    the device; what costs ~30 ms of tunnel RTT apiece is each
+    product's separate device->host READ (the ``np.asarray`` in
+    ``get_value_and_error`` — the transfer-count rule, BENCHMARKS.md).
+    Here every product contributes its traced [2] (value, stderr)
+    via ``packed_value_and_error`` and the stacked [N, 2] matrix comes
+    back in a single read: per-product incremental cost is the kernel's
+    ~ms of device compute, not the RTT floor. Works for ANY product
+    exposing ``packed_value_and_error(model)`` — the equity exotics,
+    ``EuropeanOption``, the Hull-White book (TARN, Bermudan), ... —
+    mirroring the reference's break-even story (README.md:24-28) under
+    WAN-RTT economics."""
+    if not products:
+        return []
+    packed = [p.packed_value_and_error(model) for p in products]
+    out = np.asarray(jnp.stack(packed))
+    return [(float(v), float(e)) for v, e in out]

@@ -145,7 +145,10 @@ class BermudanSwaption:
         coupons[-1] += 1.0
         return pt, coupons
 
-    def get_value_and_error(self, sim: HullWhiteSimulation) -> tuple:
+    def packed_value_and_error(self, sim: HullWhiteSimulation):
+        """Traced [2] (value, stderr) on device — no host transfer; the
+        building block of ``price_portfolio``'s one-transfer book
+        (models/equity_products.py)."""
         e_n = len(self.exercise_times)
         kmax = e_n  # remaining payments at the first date
         cl = np.zeros((e_n, kmax))
@@ -159,12 +162,15 @@ class BermudanSwaption:
             cl[i, :len(pt)] = coupons * leads
             bb[i, :len(pt)] = bbs
         ii = jnp.asarray(idx)
-        out = np.asarray(_hw_ls_kernel(
+        return _hw_ls_kernel(
             sim._xs[ii], sim._ys[ii],
             jnp.asarray(sim._a_int[np.asarray(idx)]),
             jnp.asarray(cl), jnp.asarray(bb),
             jnp.asarray(1.0 if self.payer else -1.0, dtype=ACC_DTYPE),
-            self.basis_degree, self.foresight_bias == "split"))
+            self.basis_degree, self.foresight_bias == "split")
+
+    def get_value_and_error(self, sim: HullWhiteSimulation) -> tuple:
+        out = np.asarray(self.packed_value_and_error(sim))
         return float(out[0]), float(out[1])
 
     def get_value(self, sim: HullWhiteSimulation) -> float:

@@ -149,7 +149,10 @@ class TargetRedemptionNote:
         self.cap_mode = cap_mode
         self.notional = float(notional)
 
-    def get_value_and_error(self, sim: HullWhiteSimulation) -> tuple:
+    def packed_value_and_error(self, sim: HullWhiteSimulation):
+        """Traced [2] (value, stderr) on device — no host transfer; the
+        building block of ``price_portfolio``'s one-transfer book
+        (models/equity_products.py)."""
         n = len(self.fixing_times)
         fix_idx = [sim._index(t) for t in self.fixing_times]
         pay_idx = [sim._index(t) for t in self.payment_times]
@@ -160,13 +163,16 @@ class TargetRedemptionNote:
             leads[j], bbs[j] = lead[0], bb[0]
         deltas = np.asarray(self.payment_times) - np.asarray(
             self.fixing_times)
-        out = np.asarray(_tarn_kernel(
+        return _tarn_kernel(
             sim._xs[np.asarray(fix_idx)], sim._ys[np.asarray(pay_idx)],
             jnp.asarray(sim._a_int[np.asarray(pay_idx)]),
             jnp.asarray(leads), jnp.asarray(bbs), jnp.asarray(deltas),
             jnp.float64(self.strike), jnp.float64(self.multiplier),
             jnp.float64(self.target), self.cap_mode == "full",
-            jnp.float64(self.notional)))
+            jnp.float64(self.notional))
+
+    def get_value_and_error(self, sim: HullWhiteSimulation) -> tuple:
+        out = np.asarray(self.packed_value_and_error(sim))
         return float(out[0]), float(out[1])
 
     def get_value(self, sim: HullWhiteSimulation) -> float:
