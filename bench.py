@@ -152,19 +152,53 @@ if _cache_logger.level == logging.NOTSET or _cache_logger.level > logging.DEBUG:
 _cache_logger.propagate = False
 
 
-# --- roofline accounting (round-3 VERDICT item 4) -----------------------
-# XLA's own cost model (compiled.cost_analysis()) supplies flops and
-# bytes-accessed; dividing by the measured wall gives achieved rates vs
-# the v5e (TPU v5 lite) peaks. Notes: XLA counts a transcendental as one
-# flop, so mfu is a LOWER bound for exp/log-heavy Monte-Carlo kernels;
-# the bf16 MXU peak is quoted, while these kernels run f32 on the VPU —
-# the honest usage of `mfu` here is cross-round trend tracking, and
-# `bound` is the decision label: rtt (wall ~ the ~30-40 ms tunnel RTT),
-# hbm (memory time dominates the compute estimate), or compute.
+# --- roofline accounting v2 (round-5 VERDICT item 6) ---------------------
+# XLA's own cost model (compiled.cost_analysis()) supplies flops; its
+# bytes-accessed counts a scan body ONCE, and round 4's trip-count
+# multiply of WHOLE-program bytes over-counted VMEM-resident state
+# (utilization "1.4-1.6" — unfalsifiable). v2 makes both axes honest:
+#
+# * bytes = program-level bytes (once) + an ANALYTIC per-trip loop model
+#   supplied by each leg: scan carries round-trip HBM every iteration
+#   (write + read), streamed xs rows are read once, and — the dominant
+#   term for the LMM engine — the drift cumsum is a FUSION BARRIER, so
+#   its [libors, factors, paths] operand and result materialize to HBM
+#   (the Pallas kernels exist precisely to delete this term).
+# * wall splits into measured tunnel RTT (cached min of tiny reads) and
+#   device wall = wall - rtt; achieved rates use the device wall.
+# * compute peak for the bound label is the VPU f32 peak (these are
+#   elementwise f32 Monte-Carlo kernels, not bf16 MXU matmuls):
+#   8 sublanes x 128 lanes x 4 SIMD units x 2 flops x 0.94 GHz = 7.7
+#   TFLOP/s. XLA counts a transcendental as one flop, so mfu stays a
+#   LOWER bound; mfu_vs_bf16_peak is kept for cross-round trend only.
 
 V5E_PEAK_BF16_TFLOPS = 197.0
+V5E_PEAK_VPU_F32_TFLOPS = 7.7
 V5E_PEAK_HBM_GBS = 819.0
-TUNNEL_RTT_S = 0.030
+TUNNEL_RTT_S = 0.030            # static fallback; _measured_rtt is used
+
+_RTT_CACHE: dict = {}
+
+
+def _measured_rtt() -> float:
+    """Measured per-call tunnel floor: min over 7 tiny device->host
+    reads of a committed array (dispatch + completion + transfer)."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.default_backend()
+    if key not in _RTT_CACHE:
+        x = (jnp.zeros((8,), jnp.float32) + 1.0)
+        x.block_until_ready()
+        import numpy as _np
+
+        ts = []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            _np.asarray(x + 1.0)
+            ts.append(time.perf_counter() - t0)
+        _RTT_CACHE[key] = min(ts)
+    return _RTT_CACHE[key]
 
 
 def _xla_cost(jitted, *args, **kwargs):
@@ -182,48 +216,82 @@ def _xla_cost(jitted, *args, **kwargs):
         return None
 
 
-def _roofline(cost, wall_s, flops_override=None, trip_count=1):
-    """Achieved rates + bound label for one leg. ``flops_override`` lets
-    a leg supply an analytic count when XLA's is unavailable (Pallas).
-    ``trip_count``: XLA's cost model counts a while/scan body ONCE
-    (measured: identical flops for 10- and 100-step scans), so
-    scan-dominated programs pass their iteration count here; the
-    non-loop prologue is over-counted by the multiply, which is noise
-    for these path-axis programs."""
+def _roofline(cost, wall_s, flops_override=None, trip_count=1,
+              loop_bytes_per_trip=None):
+    """Achieved rates + bound label for one leg (v2 — see the block
+    comment above). ``flops_override`` lets a leg supply an analytic
+    count when XLA's is unavailable (Pallas). ``trip_count``: XLA's
+    cost model counts a while/scan body ONCE (measured: identical flops
+    for 10- and 100-step scans), so scan-dominated programs pass their
+    iteration count; flops multiply by it. ``loop_bytes_per_trip``: the
+    leg's analytic per-iteration HBM traffic (carry round trips +
+    streamed xs + fusion-barrier intermediates) — bytes are then
+    program-level bytes (ONCE) + trips x this model, falsifiable and
+    never above peak by construction error. Without a loop model,
+    program-level bytes are reported unscaled as an explicit lower
+    bound."""
     if cost is None and flops_override is None:
         return None
     flops = flops_override if flops_override is not None else cost["flops"]
     flops *= trip_count
-    bytes_ = cost["bytes_accessed"] * trip_count if cost else None
+    rtt = _measured_rtt()
+    device_s = max(wall_s - rtt, 1e-5)
+    if loop_bytes_per_trip is not None:
+        bytes_ = ((cost["bytes_accessed"] if cost else 0.0)
+                  + float(loop_bytes_per_trip) * trip_count)
+        bytes_kind = "program_once_plus_loop_model"
+    elif cost:
+        bytes_ = cost["bytes_accessed"]
+        bytes_kind = "program_once_lower_bound"
+    else:
+        bytes_ = None
+        bytes_kind = None
     out = {"flops": flops, "trip_count": trip_count,
-           "wall_s": round(wall_s, 5)}
+           "wall_s": round(wall_s, 5),
+           "rtt_s": round(rtt, 5),
+           "device_wall_s": round(device_s, 5)}
     if flops:
-        tflops = flops / wall_s / 1e12
+        tflops = flops / device_s / 1e12
         out["achieved_tflops"] = round(tflops, 3)
+        out["mfu_vs_vpu_f32_peak"] = round(
+            tflops / V5E_PEAK_VPU_F32_TFLOPS, 5)
         out["mfu_vs_bf16_peak"] = round(tflops / V5E_PEAK_BF16_TFLOPS, 5)
     if bytes_:
-        gbs = bytes_ / wall_s / 1e9
+        gbs = bytes_ / device_s / 1e9
         out["bytes_accessed"] = bytes_
+        out["bytes_model"] = bytes_kind
         out["achieved_hbm_gbs"] = round(gbs, 2)
         out["hbm_utilization"] = round(gbs / V5E_PEAK_HBM_GBS, 4)
-        if out["hbm_utilization"] > 1.0:
-            # the trip-count multiply over-counts when XLA keeps the
-            # scan state resident in VMEM across the fused body — a
-            # utilization "above peak" means the kernel is BETTER than
-            # the naive HBM-roundtrip-per-step model, not a misread
-            out["note_bytes"] = ("estimate exceeds HBM peak: scan state "
-                                 "is VMEM-resident across steps; treat "
-                                 "bytes as an upper bound")
-    # bound label: compare the chip-time estimates against the wall
+    # bound label against the DEVICE wall: rtt when the tunnel floor is
+    # most of the call, else whichever chip-time estimate dominates;
+    # hbm-bound legs also report measured headroom (1 - t_mem/device)
     t_mem = (bytes_ / (V5E_PEAK_HBM_GBS * 1e9)) if bytes_ else 0.0
-    t_cmp = flops / (V5E_PEAK_BF16_TFLOPS * 1e12) if flops else 0.0
-    if wall_s < 1.75 * TUNNEL_RTT_S and max(t_mem, t_cmp) < 0.5 * wall_s:
+    t_cmp = flops / (V5E_PEAK_VPU_F32_TFLOPS * 1e12) if flops else 0.0
+    if device_s < rtt and max(t_mem, t_cmp) < 0.5 * wall_s:
         out["bound"] = "rtt"
     elif t_mem >= t_cmp:
         out["bound"] = "hbm"
+        out["hbm_headroom"] = round(1.0 - min(t_mem / device_s, 1.0), 3)
     else:
         out["bound"] = "compute"
+        out["compute_headroom"] = round(1.0 - min(t_cmp / device_s, 1.0), 3)
     return out
+
+
+
+def _lmm_engine_loop_bytes(n_libors: int, num_factors: int, paths: int,
+                           injected_factors: int = 0) -> float:
+    """Per-scan-trip HBM traffic model of the LMM engine (roofline v2):
+    carry round trips (L [n, paths] f32 + N, V [paths] f64, write+read)
+    + the drift cumsum's fusion-barrier intermediates ([n, F, paths]
+    operand and result, write+read each) + streamed injected-increment
+    rows. The Pallas kernels keep all of this VMEM-resident — deleting
+    the barrier term is exactly why they are 1.7-3x faster and now
+    carry the production calibration path (roofline acted on)."""
+    carry = 2 * 4 * n_libors * paths + 2 * 8 * 2 * paths
+    barrier = 4 * 4 * n_libors * num_factors * paths
+    xs = injected_factors * 4 * paths
+    return float(carry + barrier + xs)
 
 
 def _warm_concurrently(legs):
@@ -344,6 +412,57 @@ def bench_lmm_atm_calibration():
     }
 
 
+def bench_lmm_atm_calibration_1m():
+    """Scale row (round-5 VERDICT item 9): the full ATM calibration at
+    1,000,000 paths — 10x the headline, 12x the reference's largest
+    published path count. Same procedure as the headline (analytic warm
+    start, kernel-backend full-path residuals, 5k-path jacfwd Jacobian);
+    the reference CPU comparison extrapolates its published walls
+    linearly in paths (its own observed scaling, README.md:254-255)."""
+    import numpy as np
+
+    from finmath_tpu.models.lmm.atm_calibration import build_atm_calibration
+    from finmath_tpu.models.lmm.kernel_backend import ATMKernelCalibration
+
+    setup = build_atm_calibration(num_paths=1_000_000, num_factors=1,
+                                  seed=31415, jacobian_paths=5_000,
+                                  scan_mode="fused")
+    kb = ATMKernelCalibration(setup.engine)
+    _aot_kb = kb.load_programs()
+    p0 = setup.covariance.initial_parameters
+    analytic = setup.analytic_engine
+    t0 = time.perf_counter()
+    _warm_concurrently([
+        lambda: kb.residuals(p0),
+        lambda: setup.engine.implied_vols(p0),
+        lambda: (setup.jacobian_engine or setup.engine).jacobian(p0),
+        lambda: analytic.residuals(p0),
+        lambda: analytic.jacobian(p0),
+    ])
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    result = setup.calibrate(max_iterations=60, accuracy=1e-7,
+                             warm_start="analytic", residual_backend=kb)
+    wall = time.perf_counter() - t0
+    dev = setup.deviations(result.parameters)
+    if not _aot_kb:
+        kb.export_programs()
+    ref_cpu = REF_CPU_AT_100K_S * 10.0     # linear in paths
+    return {
+        "paths": 1_000_000,
+        "backend": "pallas kernel residuals + 5k-path jacfwd Jacobian",
+        "wall_s": round(wall, 3),
+        "compile_s": round(compile_s, 3),
+        "iterations": result.iterations,
+        "rms_deviation": float(np.sqrt(np.mean(dev ** 2))),
+        "mean_deviation": float(np.mean(dev)),
+        "reference_cpu_extrapolated_s": round(ref_cpu, 1),
+        "vs_reference_cpu": round(ref_cpu / wall, 1),
+        "scale_note": "10x the headline path count; reference CPU wall "
+                      "extrapolated linearly from its published scaling",
+    }
+
+
 def bench_mc_black_scholes():
     """Secondary config: MC Black-Scholes 1M paths x 100 steps
     (reference: 0.09 s GPU / 4.0 s CPU, README.md:212-215). Reports both
@@ -373,12 +492,15 @@ def bench_mc_black_scholes():
     cost = _xla_cost(_mc_bs_price_kernel, jax.random.PRNGKey(1), n_paths,
                      n_steps, jnp.dtype(jnp.float32),
                      *(jnp.float64(a) for a in args))
+    # loop model: the scan carry (log S, [paths] f32) round-trips HBM
+    # each step; normals are Threefry on-chip
     out["roofline_scan"] = _roofline(cost, out["scan"]["wall_s"],
-                                     trip_count=n_steps)
+                                     trip_count=n_steps,
+                                     loop_bytes_per_trip=8.0 * n_paths)
     if cost is not None:
         out["roofline_pallas"] = _roofline(
             None, out["pallas"]["wall_s"], flops_override=cost["flops"],
-            trip_count=n_steps)
+            trip_count=n_steps, loop_bytes_per_trip=0.0)
         out["roofline_pallas"]["note"] = (
             "flops from the equivalent XLA scan program (same math); "
             "bytes not comparable — the Pallas kernel keeps paths in VMEM")
@@ -402,8 +524,15 @@ def bench_stochvol_calibration(num_paths):
         build_benchmark_calibration,
     )
 
+    # 409,600: BEYOND the reference's published table (it stops at
+    # 163,840, README.md:254-255, where the GTX 1080's scaling had gone
+    # flat) — CPU wall extrapolated linearly in paths, GPU wall and the
+    # quality gate held at its largest published row (51.70 s, 0.480%):
+    # the row exists to show the TPU curve still flattening where the
+    # reference's stopped
     ref = {81_920: (364.42, 49.46, 0.00198),
-           163_840: (719.33, 51.70, 0.00480)}[num_paths]
+           163_840: (719.33, 51.70, 0.00480),
+           409_600: (719.33 * 409_600 / 163_840, 51.70, 0.00480)}[num_paths]
 
     # round-3: calibrate on the reference's OWN Brownian realization (the
     # bit-exact commons-math3 Mersenne stream its factory-injection tests
@@ -466,6 +595,10 @@ def bench_stochvol_calibration(num_paths):
     return {
         "paths": num_paths,
         "aot_programs": "loaded" if aot_loaded else "exported",
+        **({"scale_note": "beyond the reference's published table "
+                          "(stops at 163,840): CPU extrapolated linearly, "
+                          "GPU wall + quality gate held at its largest "
+                          "published row"} if num_paths > 163_840 else {}),
         "brownian": "finmath_mersenne(314151) — the reference's exact realization",
         "wall_s": round(wall, 3),
         "compile_s": round(compile_s, 3),
@@ -899,11 +1032,15 @@ def bench_lmm_pricer_kernels():
         "engine_ms": round(t_eng * 1000, 2), "kernel_ms": round(t_k * 1000, 2),
         "speedup": round(t_eng / t_k, 2),
         "rel_dev": round(abs(v_k - v_eng) / abs(v_eng), 5),
-        "roofline_engine": _roofline(cost1, t_eng, trip_count=e),
+        "roofline_engine": _roofline(
+            cost1, t_eng, trip_count=e,
+            loop_bytes_per_trip=_lmm_engine_loop_bytes(
+                a.model.num_libors, 1, PATHS)),
         "roofline_kernel": None if cost1 is None else dict(
             _roofline(None, t_k, flops_override=cost1["flops"],
-                      trip_count=e),
-            note="flops from the equivalent XLA engine program"),
+                      trip_count=e, loop_bytes_per_trip=0.0),
+            note="flops from the equivalent XLA engine program; state "
+                 "VMEM-resident (loop bytes ~ 0)"),
     }
 
     # ---- stoch-vol benchmark configuration (5 factors + V process) -----
@@ -957,11 +1094,15 @@ def bench_lmm_pricer_kernels():
         "rel_dev": round(abs(v_k - v_eng) / abs(v_eng), 5),
         "same_normals_rel_dev": float(same_normals_rel),
         "same_normals_pass": bool(same_normals_rel < 1e-5),
-        "roofline_engine": _roofline(cost5, t_eng, trip_count=e),
+        "roofline_engine": _roofline(
+            cost5, t_eng, trip_count=e,
+            loop_bytes_per_trip=_lmm_engine_loop_bytes(
+                b.model.num_libors, R.shape[1], PATHS)),
         "roofline_kernel": None if cost5 is None else dict(
             _roofline(None, t_k, flops_override=cost5["flops"],
-                      trip_count=e),
-            note="flops from the equivalent XLA engine program"),
+                      trip_count=e, loop_bytes_per_trip=0.0),
+            note="flops from the equivalent XLA engine program; state "
+                 "VMEM-resident (loop bytes ~ 0)"),
     }
     return out
 
@@ -1073,36 +1214,92 @@ def bench_parity_1e6():
     from finmath_tpu.models.black_scholes import mc_european_call_price
     from finmath_tpu.models.lmm.atm_calibration import build_atm_calibration
 
+    _t_bs = time.perf_counter()
     args = (7, 1_000_000, 100, 1.0, 0.05, 0.30, 1.0, 1.05)
     p32 = mc_european_call_price(*args)
+    _bs32_s = round(time.perf_counter() - _t_bs, 1)
+    _t_bs = time.perf_counter()
     p64 = mc_european_call_price(*args, dtype=jnp.float64)
+    _bs64_s = round(time.perf_counter() - _t_bs, 1)
     bs_rel = abs(p32 - p64) / abs(p64)
 
-    s32 = build_atm_calibration(num_paths=10_000, num_factors=1, seed=31415)
+    # round 5 restructure (VERDICT item 3: 245 s / 289 cache misses ->
+    # target < 60 s / < 30): every diagnostic engine is built in FUSED
+    # scan mode (one-shot consumers — ~4x cheaper lowering/compiles than
+    # the calibration loops' segmented mode), pathwise_values is ONE
+    # jitted program per engine instead of an eager per-op dispatch
+    # storm, only the programs the leg actually uses are AOT'd (targeted
+    # values/pathwise artifacts, not whole engine sets), and every
+    # TPU-side computation warms concurrently.
+    _phases = {"bs32_s": _bs32_s, "bs64_s": _bs64_s}
+    _t = time.perf_counter()
+    s32 = build_atm_calibration(num_paths=10_000, num_factors=1, seed=31415,
+                                scan_mode="fused")
     s64 = build_atm_calibration(num_paths=10_000, num_factors=1, seed=31415,
-                                dtype=jnp.float64)
+                                dtype=jnp.float64, scan_mode="fused")
     p0 = s32.covariance.initial_parameters
-    v32 = np.asarray(s32.engine.values(p0))
-    v64 = np.asarray(s64.engine.values(p0))
-    rel = np.abs(v32 - v64) / np.abs(v64)
+
+    from finmath_tpu.models.lmm.benchmark_calibration import (
+        CURATED_BASINS, build_benchmark_calibration)
 
     # parity at the CALIBRATED stoch-vol optimum (round-3 addition): the
     # basin |nu_eff|~0.7, blend~1.4 is where f32 is actually stressed —
     # overflow clamps and heavy tails live there, not at the initial point
-    from finmath_tpu.models.lmm.benchmark_calibration import (
-        CURATED_BASINS, build_benchmark_calibration)
-
-    sv32 = build_benchmark_calibration(num_paths=16_384, seed=314151)
+    sv32 = build_benchmark_calibration(num_paths=16_384, seed=314151,
+                                       scan_mode="fused")
     sv64 = build_benchmark_calibration(num_paths=16_384, seed=314151,
-                                       dtype=jnp.float64)
-    # AOT everything TPU-side this leg lowers (it is the slowest leg of
-    # the battery — five engine program sets); the CPU-f64 oracle stays
-    # on the jit path (exported artifacts pin the TPU platform and the
-    # loader refuses them from a CPU-pinned context)
-    _aot_setups = [sv32, sv64]
-    sv32.load_aot()
-    sv64.load_aot()
+                                       dtype=jnp.float64, scan_mode="fused")
+    sv64h = build_benchmark_calibration(
+        num_paths=16_384, seed=314151, dtype=jnp.float64,
+        brownian="finmath_mersenne", scan_mode="fused")
+    big32 = build_benchmark_calibration(num_paths=409_600, seed=314151,
+                                        scan_mode="fused")
+    big64 = build_benchmark_calibration(num_paths=409_600, seed=314151,
+                                        dtype=jnp.float64, scan_mode="fused")
     p_cal = CURATED_BASINS[0]
+
+    # targeted AOT (the CPU-f64 oracle stays on the jit path — artifacts
+    # pin the TPU platform and the loader refuses them from a CPU
+    # context); misses are exported after the results are in
+    _aot_values = [s32.engine, s64.engine, sv32.engine, sv64.engine,
+                   big32.engine, big64.engine]
+    _aot_pathwise = [sv32.engine, sv64.engine, sv64h.engine]
+    _phases["build_s"] = round(time.perf_counter() - _t, 1)
+    _t = time.perf_counter()
+    # artifact deserialization is ~1.8 s each (9 artifacts): load them
+    # concurrently like the compile warms
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=9) as _ex:
+        _vres = list(_ex.map(
+            lambda e: (e, e.load_program_by_name("values")), _aot_values))
+        _pres = list(_ex.map(
+            lambda e: (e, e.load_pathwise_program()), _aot_pathwise))
+    _missing_values = [e for e, ok in _vres if not ok]
+    _missing_pathwise = [e for e, ok in _pres if not ok]
+    _phases["aot_load_s"] = round(time.perf_counter() - _t, 1)
+    _phases["aot_missing"] = len(_missing_values) + len(_missing_pathwise)
+    _t = time.perf_counter()
+
+    # ONE concurrent warm phase stands up every TPU program (and lets
+    # the remote compile service parallelize the cold misses)
+    _warm_concurrently([
+        lambda: s32.engine.values(p0),
+        lambda: s64.engine.values(p0),
+        lambda: sv32.engine.values(p_cal),
+        lambda: sv64.engine.values(p_cal),
+        lambda: big32.engine.values(p_cal),
+        lambda: big64.engine.values(p_cal),
+        lambda: sv32.engine.pathwise_values(p_cal),
+        lambda: sv64.engine.pathwise_values(p_cal),
+        lambda: sv64h.engine.pathwise_values(p_cal),
+    ])
+
+    _phases["warm_s"] = round(time.perf_counter() - _t, 1)
+    _t = time.perf_counter()
+    v32 = np.asarray(s32.engine.values(p0))
+    v64 = np.asarray(s64.engine.values(p0))
+    rel = np.abs(v32 - v64) / np.abs(v64)
 
     # STRICT tier (round-3 VERDICT item 3, contract in BASELINE.md): the
     # f64-evolution engine — the documented strict-parity production mode
@@ -1116,17 +1313,14 @@ def bench_parity_1e6():
 
     strict = {}
     try:
-        sv64h = build_benchmark_calibration(
-            num_paths=16_384, seed=314151, dtype=jnp.float64,
-            brownian="finmath_mersenne")
-        _aot_setups.append(sv64h)
-        sv64h.load_aot()
         ct = np.asarray(sv64h.engine.pathwise_values(p_cal),
                         dtype=np.float64)
+        _phases["strict_tpu_s"] = round(time.perf_counter() - _t, 1)
+        _t = time.perf_counter()
         with jax.default_device(jax.devices("cpu")[0]):
             sv64c = build_benchmark_calibration(
                 num_paths=16_384, seed=314151, dtype=jnp.float64,
-                brownian="finmath_mersenne")
+                brownian="finmath_mersenne", scan_mode="fused")
             cc = np.asarray(sv64c.engine.pathwise_values(p_cal),
                             dtype=np.float64)
         wt, wc = ct.mean(axis=1), cc.mean(axis=1)
@@ -1142,6 +1336,8 @@ def bench_parity_1e6():
         # two programs (the reference's CPU-vs-GPU floats included);
         # the contract at this basin is the SAME-PLATFORM trimmed +
         # bounded-decorrelation criterion asserted above.
+        _phases["strict_cpu_s"] = round(time.perf_counter() - _t, 1)
+        _t = time.perf_counter()
         gap64 = np.abs(ct - cc).max(axis=0)
         strict = {
             "untrimmed_max_rel_dev": float(strict_rel.max()),
@@ -1155,23 +1351,14 @@ def bench_parity_1e6():
                           " oracle — see BASELINE.md round-4 scope",
         }
         # cost of the strict mode on chip: f32 vs f64 values() wall at
-        # 16k (the parity engines above) and 409k paths, best of 3 warm
+        # 16k and 409k paths, best of 3 warm (all engines pre-warmed in
+        # the concurrent phase)
         for paths, engines in (
                 (16_384, {"f32": sv32.engine, "f64": sv64.engine}),
-                (409_600, None)):
-            if engines is None:
-                big32 = build_benchmark_calibration(num_paths=paths,
-                                                    seed=314151)
-                big64 = build_benchmark_calibration(num_paths=paths,
-                                                    seed=314151,
-                                                    dtype=jnp.float64)
-                _aot_setups += [big32, big64]
-                big32.load_aot()
-                big64.load_aot()
-                engines = {"f32": big32.engine, "f64": big64.engine}
+                (409_600, {"f32": big32.engine, "f64": big64.engine})):
             walls = {}
             for name, eng in engines.items():
-                eng.values(p_cal)          # warm
+                # already warmed in the concurrent phase
                 ts = []
                 for _ in range(3):
                     t0 = time.perf_counter()
@@ -1184,9 +1371,16 @@ def bench_parity_1e6():
                 "f64_over_f32": round(walls["f64"] / walls["f32"], 2)}
     except Exception as exc:  # noqa: BLE001 — strict tier must not kill the leg
         strict["error"] = str(exc)
-    for _s in _aot_setups:
+    _phases["cost_s"] = round(time.perf_counter() - _t, 1)
+    _t = time.perf_counter()
+    for _e in _missing_values:
         try:
-            _s.export_aot()      # idempotent; next process skips lowering
+            _e.export_program("values")   # next process skips lowering
+        except Exception:  # noqa: BLE001 — persistence is best-effort
+            pass
+    for _e in _missing_pathwise:
+        try:
+            _e.export_pathwise_program()
         except Exception:  # noqa: BLE001 — persistence is best-effort
             pass
     # At the calibrated basin (|nu_eff|~0.7, blend~1.4) a handful of
@@ -1205,6 +1399,8 @@ def bench_parity_1e6():
     # therefore asserts (a) strict 1e-6 agreement on every
     # non-decorrelated path's mean AND (b) that decorrelation stays a
     # <0.5% tail phenomenon.
+    _phases["aot_export_s"] = round(time.perf_counter() - _t, 1)
+    _t = time.perf_counter()
     c32 = np.asarray(sv32.engine.pathwise_values(p_cal), dtype=np.float64)
     c64 = np.asarray(sv64.engine.pathwise_values(p_cal), dtype=np.float64)
     w32, w64 = c32.mean(axis=1), c64.mean(axis=1)
@@ -1214,6 +1410,7 @@ def bench_parity_1e6():
     rel_trim = (np.abs(c32[:, keep].mean(axis=1) - c64[:, keep].mean(axis=1))
                 / np.abs(c64[:, keep].mean(axis=1)))
     n_decorr = int((~keep).sum())
+    _phases["trim_s"] = round(time.perf_counter() - _t, 1)
 
     # STRICT criterion (round-2 VERDICT item 2): max < 1e-6 everywhere —
     # enabled by the compensated-f32 bond-ratio cumprod + f64 collection
@@ -1245,6 +1442,7 @@ def bench_parity_1e6():
                      and n_decorr < 5e-3 * c32.shape[1]),
         "cross_platform_f64_study": strict,
         "cpu_oracle_tests": "tests/test_price_parity.py asserts <1e-6 per product",
+        "phases": _phases,
     }
 
 
@@ -1520,6 +1718,41 @@ def bench_exotics():
     out["lookback_1m_x250"] = {"wall_ms": ms, "value": round(v, 4),
                                "stderr": e}
 
+    # portfolio-batched pricing (round-5 VERDICT item 7): a 20-product
+    # mixed book on the SAME 1M-path facade through price_portfolio —
+    # every product's kernel dispatches asynchronously and ONE stacked
+    # [20, 2] transfer carries the book back, vs 20 serial per-product
+    # reads each paying the ~30 ms tunnel RTT floor
+    from finmath_tpu.models import price_portfolio
+    from finmath_tpu.models.black_scholes import EuropeanOption
+
+    book = []
+    for i in range(8):
+        book.append(EuropeanOption(t, 85.0 + 5.0 * i, is_call=i % 2 == 0))
+    book += [DigitalOption(t, 95.0 + 5.0 * i) for i in range(4)]
+    book += [AsianOption(dates, 90.0 + 10.0 * i) for i in range(3)]
+    book += [BarrierOption(t, 100.0, 125.0 + 10.0 * i, "up-out")
+             for i in range(3)]
+    book += [LookbackOption(t, "floating-call"),
+             LookbackOption(t, "fixed-put", strike=100.0)]
+    assert len(book) == 20
+    port, ms_port = best_of(lambda: price_portfolio(sim, book))
+
+    def serial_book():
+        return [p.get_value_and_error(sim) for p in book]
+
+    serial, ms_serial = best_of(serial_book)
+    for (a, _), (b, _) in zip(port, serial):
+        assert abs(a - b) < 1e-12, "portfolio path must equal per-product"
+    out["portfolio_20_products_1m"] = {
+        "wall_ms": ms_port,
+        "serial_wall_ms": ms_serial,
+        "speedup": round(ms_serial / ms_port, 2),
+        "per_product_incremental_ms": round(
+            (ms_port - out["digital_1m"]["wall_ms"]) / (len(book) - 1), 2),
+        "note": "one stacked [20, 2] transfer vs 20 per-product reads",
+    }
+
     s0v = [100.0, 95.0, 105.0]
     vols = [0.25, 0.35, 0.2]
     corr = [[1.0, 0.4, 0.2], [0.4, 1.0, 0.5], [0.2, 0.5, 1.0]]
@@ -1668,7 +1901,12 @@ def bench_slv():
             "wall_ms": round(min(ts) * 1000, 1),
             "max_abs_iv_dev": round(float(np.abs(devs).max()), 5),
             "iv_devs": [round(d, 5) for d in devs],
-            "roofline_scan": _roofline(cost, min(ts), trip_count=100)}
+            # loop model: (S, V) carry round trips + increment rows +
+            # the in-scan E[V|S] hat-basis regression's fusion-barrier
+            # intermediates (~6 path-length f32 arrays, write+read)
+            "roofline_scan": _roofline(
+                cost, min(ts), trip_count=100,
+                loop_bytes_per_trip=48.0 * 409_600)}
 
 
 def bench_credit_wwr():
@@ -1731,8 +1969,13 @@ def bench_credit_wwr():
         "contributions_sum_to_cva": bool(
             abs(float(np.sum(res.contributions)) - res.cva)
             < 1e-12 + 1e-9 * abs(res.cva)),
-        "roofline_scan": _roofline(cost, wall,
-                                   trip_count=20 * eng.substeps),
+        # trips = the 20 scan steps (the 4 CIR substeps are unrolled
+        # INSIDE the body, which XLA's cost model already counts); loop
+        # model: (x, Y, y) f32 + Lambda f64 carry round trips + the
+        # per-step (x, Y, Lambda) history writes
+        "roofline_scan": _roofline(
+            cost, wall, trip_count=20,
+            loop_bytes_per_trip=56.0 * eng.num_paths),
     }
 
 
@@ -1901,6 +2144,10 @@ def main():
     _leg("mc_black_scholes_1m_100steps", bench_mc_black_scholes)
     _leg("stochvol_calibration_163840",
          lambda: bench_stochvol_calibration(163_840))
+    # scale rows (round-5): past the reference's published table
+    _leg("stochvol_calibration_409600",
+         lambda: bench_stochvol_calibration(409_600))
+    _leg("lmm_atm_calibration_1m", bench_lmm_atm_calibration_1m)
     _leg("lmm_pricer_kernels_409600", bench_lmm_pricer_kernels)
     _leg("brownian_generation_100x_1m_x10", bench_brownian_generation)
     _leg("eager_ops_100k", bench_eager_ops)

@@ -596,6 +596,7 @@ def build_benchmark_calibration(num_paths: int = 8192, num_factors: int = 5,
                                 brownian: str = "threefry",
                                 scaling_exponent: float = 0.5,
                                 martingale_correction: bool = True,
+                                scan_mode: str = "segmented",
                                 ) -> BenchmarkCalibrationSetup:
     """``brownian``: "threefry" (engine's own counter-based device stream,
     default) or "finmath_mersenne" — the latter injects the BIT-EXACT
@@ -673,10 +674,12 @@ def build_benchmark_calibration(num_paths: int = 8192, num_factors: int = 5,
     elif brownian != "threefry":
         raise ValueError(f"unknown brownian {brownian!r}")
 
-    # segmented scan mode: the multistart calibration evaluates these
-    # programs hundreds of times — warm runtime beats compile time here
+    # segmented scan mode (default): the multistart calibration evaluates
+    # these programs hundreds of times — warm runtime beats compile time.
+    # "fused" suits one-shot consumers (the parity leg's diagnostic
+    # engines): ~4x faster compiles / lowering at ~25% warm cost.
     engine = LMMValuationEngine(model, products, num_paths, num_factors,
-                                seed, mesh=mesh, scan_mode="segmented",
+                                seed, mesh=mesh, scan_mode=scan_mode,
                                 antithetic=antithetic, dtype=dtype,
                                 increments=increments)
     return BenchmarkCalibrationSetup(

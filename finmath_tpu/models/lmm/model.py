@@ -706,6 +706,45 @@ class LMMValuationEngine:
                 n += 1
         return n
 
+    def export_program(self, name: str, directory=None) -> bool:
+        """Serialize ONE public program (``residuals``/``jacobian``/
+        ``values``/``implied``) — for consumers like the parity leg that
+        use a single program per engine and should not pay the tracing/
+        lowering of the other three."""
+        from ...utils import aot
+
+        if self.mesh is not None:
+            return False
+        attr = dict(self._AOT_PROGRAMS).get(name)
+        if attr is None:
+            raise ValueError(f"unknown program {name!r}")
+        directory = directory or aot.default_cache_dir()
+        fn = getattr(self, attr)
+        jitted = getattr(fn, "_jitted", fn)
+        return aot.save_program(
+            directory, name, self._aot_config() + (name,), jitted,
+            *self._aot_examples()) is not None
+
+    def load_program_by_name(self, name: str, directory=None) -> bool:
+        from ...utils import aot
+
+        if self.mesh is not None:
+            return False
+        attr = dict(self._AOT_PROGRAMS).get(name)
+        if attr is None:
+            raise ValueError(f"unknown program {name!r}")
+        directory = directory or aot.default_cache_dir()
+        call = aot.load_program(directory, name,
+                                self._aot_config() + (name,))
+        if call is None:
+            return False
+        if self._inc_np is None:
+            setattr(self, attr, call)
+        else:
+            setattr(self, attr,
+                    (lambda c: lambda params: c(params, self._inc_dev))(call))
+        return True
+
     def load_programs(self, directory=None) -> bool:
         """Replace the public programs with previously exported ones
         (all-or-nothing); True when every program loaded."""
@@ -1198,6 +1237,48 @@ class LMMValuationEngine:
             inv_n = jnp.where(dead, 0.0, inv_n)
         return jnp.where(jnp.isfinite(contrib), contrib, 0.0), inv_n
 
+    def _build_pathwise_core(self):
+        model = self.model
+
+        def core(params, inc):
+            consts = self._collect_consts()
+
+            def collect(e, ev, L, N):
+                return self._event_contrib(e, ev, L, N, consts)
+
+            params = params.astype(self.dtype)
+            contrib_steps, inv_steps = self._simulate_collect(
+                params, collect, inc)
+            if self.scan_mode == "segmented":
+                idx = jnp.asarray(self._ev_of_product_np)
+            else:
+                idx = jnp.asarray(self._ex_step_idx)
+            slots = jnp.asarray(self._slot_of_np)
+            contrib = contrib_steps[idx, slots]                   # [P, paths]
+            inv_safe = jnp.where(jnp.isfinite(inv_steps[idx]),
+                                 inv_steps[idx], 0.0)
+            mean_inv = jnp.mean(inv_safe, axis=-1)                # [P]
+            if model.measure != "spot":
+                contrib = contrib * self._p0_terminal
+                mean_inv = mean_inv * self._p0_terminal
+            if model.use_numeraire_adjustment:
+                df_ex = jnp.asarray(self._df_exercise)
+                adj = jnp.where(mean_inv > 0.0, df_ex / mean_inv, 0.0)
+                contrib = contrib * adj[:, None]
+            return contrib
+
+        return core
+
+    def _ensure_pathwise(self):
+        if getattr(self, "_pathwise_fn", None) is None:
+            # ONE jitted program (round 5): the previous eager form
+            # dispatched every op separately — dozens of tiny programs,
+            # each paying a >1 s remote compile + ~30 ms RTT through the
+            # tunnel, the dominant cost of the parity bench leg
+            self._pathwise_fn = self._wrap_public(
+                self._build_pathwise_core())
+        return self._pathwise_fn
+
     def pathwise_values(self, params, inc=None):
         """Per-path value contributions ``[P, local_paths]`` (diagnostic).
 
@@ -1205,40 +1286,59 @@ class LMMValuationEngine:
         adjustment included): the decomposition behind the f32-vs-f64
         parity analysis at the calibrated stochastic-vol basin
         (BENCHMARKS.md) — chaotic tail paths are identified by the
-        per-path |f32 − f64| contribution gap. Materializes
-        ``[events, P_max, paths]`` (fused mode: ``[steps, ...]``), so use
-        at diagnostic path counts; not meshed."""
+        per-path |f32 − f64| contribution gap. ONE jitted program (built
+        lazily; see ``export_pathwise_program`` for its AOT artifact).
+        Materializes ``[events, P_max, paths]`` (fused mode:
+        ``[steps, ...]``), so use at diagnostic path counts; not meshed.
+
+        ``inc``: optional explicit realization override, same shape as
+        the engine's injected increments (injected engines only)."""
         if self.mesh is not None:
             raise ValueError("pathwise_values is a single-device diagnostic")
-        if inc is None:
-            # an injected-realization engine must decompose the SAME
-            # stream its values()/residuals() price on, not fall back to
-            # the Threefry draw
-            inc = self._inc_dev
-        model = self.model
-        consts = self._collect_consts()
+        fn = self._ensure_pathwise()
+        params = jnp.asarray(params, dtype=jnp.float64)
+        if inc is not None:
+            if self._inc_np is None:
+                raise ValueError(
+                    "explicit realization override needs an engine built "
+                    "with increments=")
+            jfn = getattr(fn, "_jitted", fn)
+            return jfn(params, jnp.asarray(inc))
+        return fn(params)
 
-        def collect(e, ev, L, N):
-            return self._event_contrib(e, ev, L, N, consts)
+    def export_pathwise_program(self, directory=None) -> bool:
+        """Serialize the lowered pathwise-decomposition program (the
+        parity bench's hot diagnostic) — separate from
+        ``export_programs`` so ordinary calibration engines never pay
+        its tracing/lowering."""
+        from ...utils import aot
 
-        params = jnp.asarray(params, dtype=self.dtype)
-        contrib_steps, inv_steps = self._simulate_collect(params, collect, inc)
-        if self.scan_mode == "segmented":
-            idx = jnp.asarray(self._ev_of_product_np)
+        if self.mesh is not None:
+            return False
+        directory = directory or aot.default_cache_dir()
+        fn = self._ensure_pathwise()
+        jitted = getattr(fn, "_jitted", fn)
+        return aot.save_program(
+            directory, "pathwise", self._aot_config() + ("pathwise",),
+            jitted, *self._aot_examples()) is not None
+
+    def load_pathwise_program(self, directory=None) -> bool:
+        from ...utils import aot
+
+        if self.mesh is not None:
+            return False
+        directory = directory or aot.default_cache_dir()
+        call = aot.load_program(directory, "pathwise",
+                                self._aot_config() + ("pathwise",))
+        if call is None:
+            return False
+        if self._inc_np is None:
+            self._pathwise_fn = call
         else:
-            idx = jnp.asarray(self._ex_step_idx)
-        slots = jnp.asarray(self._slot_of_np)
-        contrib = contrib_steps[idx, slots]                       # [P, paths]
-        inv_safe = jnp.where(jnp.isfinite(inv_steps[idx]), inv_steps[idx], 0.0)
-        mean_inv = jnp.mean(inv_safe, axis=-1)                    # [P]
-        if model.measure != "spot":
-            contrib = contrib * self._p0_terminal
-            mean_inv = mean_inv * self._p0_terminal
-        if model.use_numeraire_adjustment:
-            df_ex = jnp.asarray(self._df_exercise)
-            adj = jnp.where(mean_inv > 0.0, df_ex / mean_inv, 0.0)
-            contrib = contrib * adj[:, None]
-        return contrib
+            wrapper = lambda params: call(params, self._inc_dev)  # noqa: E731
+            wrapper._jitted = call
+            self._pathwise_fn = wrapper
+        return True
 
     # ------------------------------------------------------------------
     def _simulate_and_value(self, params, inc=None, fwd0=None, remat=False,
