@@ -236,6 +236,9 @@ def _roofline(cost, wall_s, flops_override=None, trip_count=1,
     flops *= trip_count
     rtt = _measured_rtt()
     device_s = max(wall_s - rtt, 1e-5)
+    # a wall at/under the RTT floor leaves no resolvable device time:
+    # achieved rates would be meaningless division noise
+    floor_hit = wall_s <= rtt * 1.08 or device_s < 2e-3
     if loop_bytes_per_trip is not None:
         bytes_ = ((cost["bytes_accessed"] if cost else 0.0)
                   + float(loop_bytes_per_trip) * trip_count)
@@ -250,25 +253,31 @@ def _roofline(cost, wall_s, flops_override=None, trip_count=1,
            "wall_s": round(wall_s, 5),
            "rtt_s": round(rtt, 5),
            "device_wall_s": round(device_s, 5)}
-    if flops:
+    if flops and not floor_hit:
         tflops = flops / device_s / 1e12
         out["achieved_tflops"] = round(tflops, 3)
         out["mfu_vs_vpu_f32_peak"] = round(
             tflops / V5E_PEAK_VPU_F32_TFLOPS, 5)
         out["mfu_vs_bf16_peak"] = round(tflops / V5E_PEAK_BF16_TFLOPS, 5)
     if bytes_:
-        gbs = bytes_ / device_s / 1e9
         out["bytes_accessed"] = bytes_
         out["bytes_model"] = bytes_kind
-        out["achieved_hbm_gbs"] = round(gbs, 2)
-        out["hbm_utilization"] = round(gbs / V5E_PEAK_HBM_GBS, 4)
-    # bound label against the DEVICE wall: rtt when the tunnel floor is
-    # most of the call, else whichever chip-time estimate dominates;
-    # hbm-bound legs also report measured headroom (1 - t_mem/device)
+        if not floor_hit:
+            gbs = bytes_ / device_s / 1e9
+            out["achieved_hbm_gbs"] = round(gbs, 2)
+            out["hbm_utilization"] = round(gbs / V5E_PEAK_HBM_GBS, 4)
+    # bound label against the DEVICE wall: rtt when the wall sits at the
+    # tunnel floor OR both chip-time estimates are small next to it;
+    # otherwise whichever estimate dominates, with measured headroom
+    # (1 - t/device — how far off the roofline the leg actually runs)
     t_mem = (bytes_ / (V5E_PEAK_HBM_GBS * 1e9)) if bytes_ else 0.0
     t_cmp = flops / (V5E_PEAK_VPU_F32_TFLOPS * 1e12) if flops else 0.0
-    if device_s < rtt and max(t_mem, t_cmp) < 0.5 * wall_s:
+    if floor_hit or (max(t_mem, t_cmp) < 0.5 * device_s
+                     and wall_s < 2.2 * rtt):
         out["bound"] = "rtt"
+        if floor_hit:
+            out["note_rates"] = ("wall at the tunnel RTT floor: no "
+                                 "resolvable device time, rates omitted")
     elif t_mem >= t_cmp:
         out["bound"] = "hbm"
         out["hbm_headroom"] = round(1.0 - min(t_mem / device_s, 1.0), 3)
