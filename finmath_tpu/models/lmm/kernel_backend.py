@@ -273,51 +273,27 @@ class StochVolKernelCalibration:
         return self.implied_vols(x, k) - np.asarray(self._target)
 
     # ------------------------------------------------------------------
-    # AOT persistence (utils/aot.py): the two hot programs (B=1 residual,
-    # FD-Jacobian) serialized so a later process skips tracing + lowering
+    # AOT persistence: INTENTIONALLY disabled for the kernel backend.
+    # jax.export round trips of Pallas-containing programs crash the
+    # remote TPU compile service on reload (Mosaic layout check
+    # `llvm::has_single_bit(bitwidth_) && bitwidth_ <= 32` inside the
+    # chipless TpuAotCompiler — SIGABRT, observed twice on the driver
+    # path, 2026-08-21). Engine-only (pure XLA) programs round-trip
+    # fine and keep their AOT artifacts; the kernel programs have small
+    # jaxprs (seconds of lowering, vs the engines' 80-90 s) and their
+    # jit-path compiles are served by the persistent XLA cache, so the
+    # loss is minor. Both methods keep their signatures so callers can
+    # treat every backend uniformly.
     # ------------------------------------------------------------------
-    def _aot_config(self):
-        return self.engine._aot_config() + (
-            "kernel_backend", self._products, self._num_steps,
-            self.fd_abs, self.fd_rel, tuple(self._z[0].shape))
-
     def export_programs(self, directory=None) -> int:
-        from ...utils import aot
-
-        directory = directory or aot.default_cache_dir()
-        cfg = self._aot_config()
-        zs = jax.ShapeDtypeStruct(self._z[0].shape, jnp.float32)
-        p1 = jax.ShapeDtypeStruct((1, self._n_params), jnp.float64)
-        p = jax.ShapeDtypeStruct((self._n_params,), jnp.float64)
-        n = 0
-        for name, fn, args in (
-                ("kres", self._res_core, (p1, zs)),
-                ("kjac", self._jac_core, (p, zs))):
-            if aot.save_program(directory, name, cfg + (name,), fn,
-                                *args) is not None:
-                n += 1
-        return n
+        """No-op (returns 0): see the class-level AOT note — exported
+        Pallas programs crash the TPU compiler when reloaded."""
+        return 0
 
     def load_programs(self, directory=None) -> bool:
-        from ...utils import aot
-
-        directory = directory or aot.default_cache_dir()
-        cfg = self._aot_config()
-        res = aot.load_program(directory, "kres", cfg + ("kres",))
-        jac = aot.load_program(directory, "kjac", cfg + ("kjac",))
-        if res is None or jac is None:
-            return False
-        # the deserialized residual program is specialized to B=1; other
-        # batch sizes (residuals_batch) fall through to the jit path
-        jit_res = self._res_core
-
-        def res_dispatch(params_b, z_tiles):
-            if params_b.shape[0] == 1:
-                return res(params_b, z_tiles)
-            return jit_res(params_b, z_tiles)
-
-        self._res_core, self._jac_core = res_dispatch, jac
-        return True
+        """No-op (returns False): the jit path + persistent XLA cache is
+        the supported warm path for kernel programs."""
+        return False
 
 
 class ATMKernelCalibration:
@@ -549,39 +525,15 @@ class ATMKernelCalibration:
             w != 0.0, r / np.where(w != 0.0, w, 1.0), 0.0)
 
     # ------------------------------------------------------------------
-    def _aot_config(self):
-        return self.engine._aot_config() + (
-            "atm_kernel_backend", self._products, self._events,
-            self._num_steps, self._displaced, self.fd_abs, self.fd_rel,
-            tuple(self._z.shape))
-
+    # AOT intentionally disabled — same Mosaic-reload crash as
+    # StochVolKernelCalibration (see its AOT note); signatures kept.
+    # ------------------------------------------------------------------
     def export_programs(self, directory=None) -> int:
-        from ...utils import aot
-
-        directory = directory or aot.default_cache_dir()
-        cfg = self._aot_config()
-        zs = jax.ShapeDtypeStruct(self._z.shape, jnp.float32)
-        p1 = jax.ShapeDtypeStruct((1, self._n_params), jnp.float64)
-        n = 0
-        if aot.save_program(directory, "akres", cfg + ("akres",),
-                            self._res_core, p1, zs) is not None:
-            n += 1
-        return n
+        """No-op (returns 0): exported Pallas programs crash the TPU
+        compiler when reloaded; the persistent XLA cache is the warm
+        path."""
+        return 0
 
     def load_programs(self, directory=None) -> bool:
-        from ...utils import aot
-
-        directory = directory or aot.default_cache_dir()
-        cfg = self._aot_config()
-        res = aot.load_program(directory, "akres", cfg + ("akres",))
-        if res is None:
-            return False
-        jit_res = self._res_core
-
-        def res_dispatch(params_b, z_tiles):
-            if params_b.shape[0] == 1:
-                return res(params_b, z_tiles)
-            return jit_res(params_b, z_tiles)
-
-        self._res_core = res_dispatch
-        return True
+        """No-op (returns False): see ``export_programs``."""
+        return False
