@@ -627,10 +627,14 @@ def bench_stochvol_calibration(num_paths):
     }
 
 
-def bench_stochvol_matched():
+def bench_stochvol_matched(paths=81_920, n_scramblings=3, n_restarts=4):
     """The matched-quality pursuit row: close the fit gap to the
     reference's published rms19 0.198% while staying far under its
-    49.46 s wall (81,920 paths).
+    49.46 s wall (81,920 paths). At 409,600 paths (the scale attempt,
+    reduced scrambling/restart counts) the same procedure reports its
+    achieved fit honestly — in-sample adaptation is structurally weaker
+    with 5x the paths, so the published-81,920-row fit level is NOT the
+    expectation there; the wall/fit pair simply extends the curve.
 
     Round-5 procedure (pre-registered, fully timed): the calibration hot
     loop runs on the Pallas kernel backend (models/lmm/kernel_backend.py)
@@ -666,7 +670,7 @@ def bench_stochvol_matched():
         StochVolKernelCalibration)
     from finmath_tpu.models.qmc import sobol_brownian_increments
 
-    PATHS, K = 81_920, 3
+    PATHS, K = paths, n_scramblings
     setup = build_benchmark_calibration(num_paths=PATHS, brownian="sobol",
                                         seed=0)
     eng = setup.engine
@@ -735,7 +739,7 @@ def bench_stochvol_matched():
     fun_b, jac_b = make_funs(best_k)
     rng = np.random.default_rng(11)
     jit_starts = [best_x * (1 + rng.normal(0.0, 0.01, best_x.shape[0]))
-                  for _ in range(4)]
+                  for _ in range(n_restarts)]
 
     def restart(w):
         rr = least_squares(fun_b, w, jac=jac_b, method="trf", x_scale="jac",
@@ -743,7 +747,7 @@ def bench_stochvol_matched():
         return rr.x, rms19_k(fun_b(rr.x))
 
     t0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=4) as ex:
+    with ThreadPoolExecutor(max_workers=max(n_restarts, 1)) as ex:
         restarts = list(ex.map(restart, jit_starts))
     per_restart = [round(e, 6) for _, e in restarts]
     # final ranking by the independent engine oracle over every candidate
@@ -766,8 +770,9 @@ def bench_stochvol_matched():
         "best_realization": best_k,
         "per_restart_rms19_kernel": per_restart,
         "estimator": "scrambled Sobol + Brownian bridge "
-                     f"({K} independent Owen scramblings, concurrent + 4 "
-                     "concurrent jittered restarts on the best)",
+                     f"({K} independent Owen scramblings, concurrent + "
+                     f"{n_restarts} concurrent jittered restarts on the "
+                     "best)",
         "wall_s": round(wall, 3),
         "phase_chains_s": round(phase_a_s, 3),
         "phase_restarts_s": round(phase_b_s, 3),
@@ -2156,6 +2161,9 @@ def main():
     # scale rows (round-5): past the reference's published table
     _leg("stochvol_calibration_409600",
          lambda: bench_stochvol_calibration(409_600))
+    _leg("stochvol_matched_attempt_409600",
+         lambda: bench_stochvol_matched(paths=409_600, n_scramblings=2,
+                                        n_restarts=2))
     _leg("lmm_atm_calibration_1m", bench_lmm_atm_calibration_1m)
     _leg("lmm_pricer_kernels_409600", bench_lmm_pricer_kernels)
     _leg("brownian_generation_100x_1m_x10", bench_brownian_generation)
