@@ -385,10 +385,18 @@ def bench_lmm_atm_calibration():
     # analytic-approximation pre-calibration (no Monte Carlo) to warm-start
     # the Monte-Carlo Levenberg-Marquardt; quality is measured on the
     # full-resolution MC engine exactly as before
-    t0 = time.perf_counter()
-    result = setup.calibrate(max_iterations=60, accuracy=1e-7,
-                             warm_start="analytic", residual_backend=kb)
-    wall = time.perf_counter() - t0
+    # best of two complete timed calibrations (the same min-of-reps
+    # methodology as every other leg): a one-off remote-service stall
+    # inside the single timed region was observed to turn 0.6 s into
+    # 6.9 s — the procedure itself is deterministic, so the min is the
+    # honest steady-state figure
+    walls = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        result = setup.calibrate(max_iterations=60, accuracy=1e-7,
+                                 warm_start="analytic", residual_backend=kb)
+        walls.append(time.perf_counter() - t0)
+    wall = min(walls)
 
     dev = setup.deviations(result.parameters)
     if not _aot_setup:
@@ -449,10 +457,13 @@ def bench_lmm_atm_calibration_1m():
         lambda: analytic.jacobian(p0),
     ])
     compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    result = setup.calibrate(max_iterations=60, accuracy=1e-7,
-                             warm_start="analytic", residual_backend=kb)
-    wall = time.perf_counter() - t0
+    walls = []
+    for _ in range(2):      # min of 2 complete runs (headline methodology)
+        t0 = time.perf_counter()
+        result = setup.calibrate(max_iterations=60, accuracy=1e-7,
+                                 warm_start="analytic", residual_backend=kb)
+        walls.append(time.perf_counter() - t0)
+    wall = min(walls)
     dev = setup.deviations(result.parameters)
     if not _aot_kb:
         kb.export_programs()
@@ -2112,6 +2123,15 @@ def _leg(key, fn, attempts=2):
     t0 = time.monotonic()
     for attempt in range(attempts):
         try:
+            if attempt and _STATE.get("_backend_dead"):
+                # a TPU worker crash poisons the in-process runtime: every
+                # later dispatch returns UNAVAILABLE. Drop the dead client
+                # and let the next dispatch re-establish the tunnel (the
+                # worker restarts server-side; observed recovery ~70 s).
+                import jax.extend.backend as _jb
+
+                _jb.clear_backends()
+                _STATE["_backend_dead"] = False
             res = fn()
             if isinstance(res, dict):
                 res["leg_wall_s"] = round(time.monotonic() - t0, 1)
@@ -2122,6 +2142,8 @@ def _leg(key, fn, attempts=2):
             break
         except Exception as exc:  # noqa: BLE001 — report, don't crash
             detail[f"{key}_error"] = f"attempt {attempt + 1}: {exc}"
+            if "UNAVAILABLE" in str(exc) or "crashed or restarted" in str(exc):
+                _STATE["_backend_dead"] = True
     _emit()
 
 
